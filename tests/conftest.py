@@ -1,0 +1,30 @@
+"""Test config: run everything on CPU with 8 virtual devices.
+
+Multi-chip (DP mesh) behavior is validated on a fake 8-device CPU mesh,
+matching how the driver dry-runs the multichip path. Must run before jax
+is imported anywhere.
+"""
+
+import os
+
+# NOTE: this image's sitecustomize imports jax at interpreter startup, so
+# env vars alone are too late; jax.config still works because the backend
+# has not been initialized yet.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)
