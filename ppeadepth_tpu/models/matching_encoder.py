@@ -1,0 +1,137 @@
+"""Multi-frame matching encoder: RepLKNet with a plane-sweep cost volume
+spliced in after stage 0.
+
+Mirrors RepLKMatching / RepLKMatchingAdapter (replk_matching.py:251-302,
+replk_matching_adapter.py:389-476) — one module covers both (adapters are
+configured on the inner RepLKNet):
+
+  current feats  = stem + stage0 (with gradients)
+  lookup feats   = same, gradient-free
+  cost volume    = batched plane sweep over `num_depth_bins` hypotheses,
+                   gradient-free (the reference wraps it in torch.no_grad)
+  fusion         = ReLU(Conv3x3(concat(current_feats, cost_volume)))
+                   ("reduce_conv", which STAYS trainable when the backbone
+                   freezes — the 'reduce' predicate in repdepth.py:49)
+  resume         = transitions + stages 1..3 for the 4-level pyramid
+
+The adaptive min/max depth-bin scalars are jit-traced inputs (they come
+from the EMA tracker in the train state), so recomputing bins per step
+costs nothing.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .replknet import RepLKNet
+from ..ops import cost_volume as CV
+
+
+class RepLKMatching(nn.Module):
+    rep_size: str = "b"
+    use_checkpoint: bool = False
+    # adapter config forwarded to the backbone; adpt_test < 0 = plain
+    adpt_test: int = -1
+    g_blk: float = 1.0
+    g_ffn: float = 1.0
+    ratio: float = 0.25
+    trans_adpt: bool = False
+    input_adpt: bool = False
+    merged: bool = False
+    num_depth_bins: int = 96
+    depth_binning: str = "log"
+    bin_chunk: int = 16
+
+    def setup(self):
+        self.replk = RepLKNet(
+            rep_size=self.rep_size,
+            drop_path_rate=0.3,
+            use_checkpoint=self.use_checkpoint,
+            adpt_test=self.adpt_test,
+            g_blk=self.g_blk,
+            g_ffn=self.g_ffn,
+            ratio=self.ratio,
+            trans_adpt=self.trans_adpt,
+            input_adpt=self.input_adpt,
+            merged=self.merged,
+        )
+        # Conv3x3(C0 + D -> C0) + ReLU; plain conv with bias, no BN
+        # (replk_matching.py:90-94)
+        c0 = self.replk.channels[0]
+        self.reduce_conv = nn.Conv(c0, (3, 3), padding=1)
+
+    @property
+    def num_ch_enc(self) -> Sequence[int]:
+        return self.replk.channels
+
+    def feature_extraction(self, image, train: bool = False):
+        """stem + stage 0 -> features at 1/4 res
+        (replk_matching.py:208-231)."""
+        x = self.replk.forward_stem(image, train)
+        x = self.replk.forward_stage(0, x, train)
+        return x
+
+    def __call__(
+        self,
+        current_image,
+        lookup_images,
+        poses,
+        K,
+        invK,
+        min_depth_bin,
+        max_depth_bin,
+        train: bool = False,
+    ):
+        """current_image: [B, H, W, 3]; lookup_images: [B, F, H, W, 3];
+        poses: [B, F, 4, 4]; K/invK: [B, 4, 4] at 1/4 (matching) scale.
+
+        Returns (features[4], lowest_cost [B, H/4, W/4],
+        confidence_mask [B, H/4, W/4]).
+        """
+        B, H, W, _ = current_image.shape
+        F_ = lookup_images.shape[1]
+
+        cur = self.feature_extraction(current_image, train)
+
+        # lookup features: gradient-free (replk_matching.py:265-281). BN
+        # running stats still update, as under torch.no_grad.
+        lk = self.feature_extraction(
+            lookup_images.reshape(B * F_, H, W, 3), train
+        )
+        lk = jax.lax.stop_gradient(lk).reshape(B, F_, *lk.shape[1:])
+
+        bins = CV.compute_depth_bins(
+            min_depth_bin, max_depth_bin, self.num_depth_bins,
+            self.depth_binning,
+        )
+        cost, missing = CV.plane_sweep_cost_volume(
+            jax.lax.stop_gradient(cur),
+            lk,
+            jax.lax.stop_gradient(poses),
+            K,
+            invK,
+            bins,
+            bin_chunk=self.bin_chunk,
+        )  # [B, D, h, w]
+        conf = CV.confidence_mask(
+            jax.lax.stop_gradient(cost), jax.lax.stop_gradient(missing)
+        )  # [B, h, w]
+        lowest_cost = CV.lowest_cost_disparity(
+            jax.lax.stop_gradient(cost), bins
+        )
+
+        cost_nhwc = jnp.transpose(cost, (0, 2, 3, 1)) * conf[..., None]
+        x = nn.relu(
+            self.reduce_conv(jnp.concatenate([cur, cost_nhwc], axis=-1))
+        )
+
+        features = [self.replk.stages[0].apply_norm(cur, train)]
+        for stage_idx in range(1, 4):
+            x = self.replk.forward_transition(stage_idx - 1, x, train)
+            x = self.replk.forward_stage(stage_idx, x, train)
+            features.append(self.replk.stages[stage_idx].apply_norm(x, train))
+        return features, lowest_cost, conf

@@ -1,0 +1,181 @@
+"""Typed configuration + CLI with the reference's public flag names.
+
+The reference threads a ~150-flag argparse.Namespace everywhere
+(options.py:13-479); most flags are dead experiment leftovers (the
+segmentation stack options.py:250-331 is never referenced by the trainer).
+Here the *live* surface — the flags exercised by the README commands and
+the shipped ckpt/models/opt.json — becomes a frozen dataclass (hashable,
+so it can be a static field of flax modules), and `parse_args` exposes the
+same CLI names so `python -m ppeadepth_tpu.train` accepts the reference's
+command lines.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class Config:
+    # paths / data
+    data_path: str = ""
+    log_dir: str = "./ckpt"
+    split: str = "eigen_zhou"
+    dataset: str = "kitti"
+    png: bool = False
+    height: int = 192
+    width: int = 640
+    cs_eval_path: str = "../cityscapes"
+
+    # depth range & frames
+    min_depth: float = 0.1
+    max_depth: float = 100.0
+    frame_ids: Tuple[int, ...] = (0, -1, 1)
+    use_future_frame: bool = False
+    num_matching_frames: int = 1
+    sclm: int = 0  # highest disparity scale used in the loss (live: 0)
+
+    # optimisation
+    batch_size: int = 12
+    learning_rate: float = 1e-4
+    num_epochs: int = 20
+    scheduler_step_size: int = 15
+    num_workers: int = 12
+    pytorch_random_seed: Optional[int] = None
+
+    # loss switches
+    disparity_smoothness: float = 1e-3
+    no_ssim: bool = False
+    disable_automasking: bool = False
+    disable_motion_masking: bool = False
+    no_matching_augmentation: bool = False
+    selec_reproj: bool = False
+
+    # cost volume
+    depth_binning: str = "log"
+    num_depth_bins: int = 96
+    notadabins: bool = False
+    cv_min: bool = False
+    cv_set_1: bool = False
+    cv_pool: bool = False
+    cv_pool_radius: int = 1
+    cv_pool_th: float = 0.7
+
+    # architecture
+    adapter: bool = False
+    rep_size: str = "b"
+    use_checkpoint: bool = False
+    adpt_test: int = 4
+    ratio: float = 0.25
+    g_blk: float = 1.0
+    g_ffn: float = 1.0
+    trans: bool = False
+    input: bool = False
+    mono_trans: bool = False
+    mono_input: bool = False
+    pose_cnn: bool = False
+    weights_init: str = "pretrained"
+    num_layers: int = 18
+
+    # stage 2 (dynamic-scene fine-tuning)
+    dc: bool = False
+    dec_id: int = 1
+    dec_ratio: float = 0.25
+    train_cs: bool = False
+    dec_only: bool = False
+    fullft_reb: bool = False
+    lps2: bool = False
+    ktf: bool = False
+
+    # freezing
+    freeze_teacher_and_pose: bool = False
+    freeze_teacher_epoch: int = 150
+    freeze_teacher_step: int = -1
+    freeze_pose: bool = False
+
+    # eval
+    eval: bool = False
+    eval_split: str = "eigen"
+    eval_teacher: bool = False
+    zero_cost_volume: bool = False
+    static_camera: bool = False
+    disable_median_scaling: bool = False
+    pred_depth_scale_factor: float = 1.0
+    load_weights_folder: Optional[str] = None
+    ddad: bool = False
+
+    # logging / checkpoints
+    name: str = "test"
+    model_name: str = "mdp"
+    tags: str = "multi"
+    validate_every: int = 3000
+    debug: bool = False
+
+    # tpu-native extras (not in the reference)
+    compute_dtype: str = "bfloat16"  # bf16 compute / f32 params
+    lk_backend: str = "lax"          # 'lax' | 'pallas'
+    bin_chunk: int = 16
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    def with_mode_presets(self) -> "Config":
+        """Runtime mode presets (trainer.py:90-103)."""
+        cfg = self
+        if cfg.train_cs:
+            cfg = cfg.replace(
+                dataset="cityscapes_preprocessed", height=192, width=512,
+                split="cityscapes_preprocessed", eval_split="cityscapes",
+            )
+        if cfg.ddad:
+            cfg = cfg.replace(
+                dataset="ddad", height=384, width=640, split="ddad",
+                eval_split="ddad",
+            )
+        assert cfg.height % 32 == 0, "'height' must be a multiple of 32"
+        assert cfg.width % 32 == 0, "'width' must be a multiple of 32"
+        return cfg
+
+    @property
+    def matching_ids(self) -> Tuple[int, ...]:
+        ids = [0]
+        if self.use_future_frame:
+            ids.append(1)
+        ids.extend(range(-1, -1 - self.num_matching_frames, -1))
+        return tuple(ids)
+
+    @property
+    def num_ch_enc(self) -> Tuple[int, ...]:
+        from .models.replknet import REPLK_CONFIGS
+
+        return tuple(REPLK_CONFIGS[self.rep_size]["channels"])
+
+
+def _add_flags(p: argparse.ArgumentParser):
+    defaults = Config()
+    for f in dataclasses.fields(Config):
+        name = "--" + f.name
+        default = getattr(defaults, f.name)
+        if f.type == "bool" or isinstance(default, bool):
+            p.add_argument(name, action="store_true", default=default)
+        elif f.name == "frame_ids":
+            p.add_argument(name, nargs="+", type=int, default=list(default))
+        elif isinstance(default, int):
+            p.add_argument(name, type=int, default=default)
+        elif isinstance(default, float):
+            p.add_argument(name, type=float, default=default)
+        else:
+            p.add_argument(name, type=str, default=default)
+    return p
+
+
+def parse_args(argv=None) -> Config:
+    p = argparse.ArgumentParser("ppeadepth_tpu")
+    _add_flags(p)
+    ns = p.parse_args(argv)
+    kw = vars(ns)
+    kw["frame_ids"] = tuple(kw["frame_ids"])
+    return Config(**kw).with_mode_presets()
