@@ -1,0 +1,251 @@
+"""The jitted training step: forward, photometric losses, grads over the
+trainable partition, optimizer update, depth-bin EMA — one XLA program.
+
+Loss semantics mirror Trainer.process_batch / generate_images_pred /
+compute_losses (trainer.py:420-472, 871-926, 1032-1160):
+  - teacher (mono) branch: min-reprojection over frames ±1, automask vs
+    min identity reprojection (+ randn*1e-5 tie-break), edge-aware
+    smoothness on mean-normalised disparity;
+  - student (multi) branch: pose detached, reprojection masked by
+    consistency_mask x (1 - augmentation_mask), consistency loss
+    |multi_depth - sg(mono_depth)| on the masked-out pixels;
+  - teacher losses added to the total when the teacher is not frozen;
+  - adaptive depth-bin EMA (DepthBins, trainer.py:41-69): per-sample
+    min/max of full-res teacher depth -> batch mean -> widened x0.9/x1.1
+    -> EMA 0.99. Under a dp-sharded batch the batch-mean is global, which
+    subsumes the reference's cross-rank min/max reduce.
+
+Data parallelism: no explicit collectives appear here. The step is jitted
+over a `Mesh`; the batch arrives sharded on the 'dp' axis and params/state
+replicated, and XLA inserts the gradient all-reduce (the NCCL allreduce of
+trainer.py:350) automatically.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..core import losses as L
+from ..core.geometry import disp_to_depth, reproject_coords
+from ..options import Config
+from ..ops.resize import resize_bilinear
+from ..ops.sampling import grid_sample
+from . import freeze
+
+
+@struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    trainable: Dict
+    frozen: Dict
+    batch_stats: Dict
+    opt_state: Any
+    min_depth_bin: jnp.ndarray
+    max_depth_bin: jnp.ndarray
+
+    @property
+    def params(self):
+        return freeze.merge(self.trainable, self.frozen)
+
+
+def create_train_state(model, variables, opt: Config, tx) -> TrainState:
+    labels = freeze.param_labels(variables["params"], opt)
+    trainable, frozen = freeze.partition(variables["params"], labels)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        trainable=trainable,
+        frozen=frozen,
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(trainable),
+        # DepthBins defaults (trainer.py:45-46)
+        min_depth_bin=jnp.asarray(0.1, jnp.float32),
+        max_depth_bin=jnp.asarray(10.0, jnp.float32),
+    )
+
+
+def _warp_frames(inputs, depth, poses, opt: Config, is_multi: bool):
+    """Inverse-warp neighbor frames into frame 0 (trainer.py:894-914)."""
+    K = inputs[("K", 0)]
+    invK = inputs[("inv_K", 0)]
+    warped = {}
+    for f in opt.frame_ids[1:]:
+        T = poses[("cam_T_cam", 0, f)]
+        if is_multi:
+            T = jax.lax.stop_gradient(T)  # trainer.py:899-901
+        coords = reproject_coords(depth, invK, K, T)
+        warped[f] = grid_sample(inputs[("color", f, 0)], coords, "border")
+    return warped
+
+
+def _branch_losses(inputs, outputs, opt: Config, noise_rng, is_multi: bool):
+    """Scale-0 losses for one branch. Returns (loss, aux, depth)."""
+    disp = outputs[("disp", 0)]
+    disp_full = resize_bilinear(disp, opt.height, opt.width)
+    _, depth = disp_to_depth(disp_full, opt.min_depth, opt.max_depth)
+
+    warped = _warp_frames(inputs, depth, outputs, opt, is_multi)
+    target = inputs[("color", 0, 0)]
+
+    reproj = jnp.concatenate(
+        [L.reprojection_loss(warped[f], target, opt.no_ssim)
+         for f in opt.frame_ids[1:]],
+        axis=-1,
+    )  # [B, H, W, F]
+    reproj_min = jnp.min(reproj, axis=-1, keepdims=True)
+
+    if opt.selec_reproj:
+        # warp-hole selection (trainer.py:1077-1083): where a warped frame
+        # is all-black use the other frame's loss; both black -> 0.
+        # frame order is frame_ids[1:] == (-1, +1)
+        m_m1 = (
+            jnp.sum(warped[opt.frame_ids[1]], -1, keepdims=True) < 0.1
+        )
+        m_p1 = (
+            jnp.sum(warped[opt.frame_ids[2]], -1, keepdims=True) < 0.1
+        )
+        m_m1 = jax.lax.stop_gradient(m_m1)
+        m_p1 = jax.lax.stop_gradient(m_p1)
+        reproj_min = jnp.where(m_m1, reproj[..., 1:2], reproj_min)
+        reproj_min = jnp.where(m_p1, reproj[..., 0:1], reproj_min)
+        reproj_min = jnp.where(m_m1 & m_p1, 0.0, reproj_min)
+
+    if not opt.disable_automasking:
+        identity = jnp.concatenate(
+            [L.reprojection_loss(inputs[("color", f, 0)], target, opt.no_ssim)
+             for f in opt.frame_ids[1:]],
+            axis=-1,
+        )
+        identity_min = jnp.min(identity, axis=-1, keepdims=True)
+        identity_min = identity_min + (
+            jax.random.normal(noise_rng, identity_min.shape) * 1e-5
+        )  # tie-break noise, trainer.py:1084-1087
+        mask = L.automask(reproj_min, identity_min)
+    else:
+        mask = jnp.ones_like(reproj_min)
+
+    aux = {}
+    if is_multi:
+        # trainer.py:1101-1121
+        mask = jnp.ones_like(mask)
+        if not opt.disable_motion_masking:
+            mask = mask * outputs["consistency_mask"][..., None]
+        if not opt.no_matching_augmentation:
+            mask = mask * (1.0 - outputs["augmentation_mask"])
+        consistency_sel = 1.0 - mask
+        mono_depth = jax.lax.stop_gradient(outputs[("mono_depth", 0, 0)])
+        consistency_loss = jnp.mean(
+            jnp.abs(depth - mono_depth) * consistency_sel
+        )
+        aux["consistency_loss"] = consistency_loss
+    else:
+        consistency_loss = 0.0
+
+    reproj_loss = jnp.sum(reproj_min * mask) / (jnp.sum(mask) + 1e-7)
+
+    smooth = L.normalized_smooth_loss(disp, inputs[("color", 0, 0)])
+    loss = (
+        reproj_loss + consistency_loss
+        + opt.disparity_smoothness * smooth
+    )
+    aux["reproj_loss"] = reproj_loss
+    aux["smooth_loss"] = smooth
+    return loss, aux, depth
+
+
+def make_train_step(model, opt: Config, tx, donate: bool = True):
+    """Build the jitted train step closure."""
+
+    freeze_tp = opt.freeze_teacher_and_pose
+    update_bins = (not freeze_tp) and (not opt.notadabins)
+
+    def loss_fn(trainable, frozen, batch_stats, batch, min_bin, max_bin, rng):
+        params = freeze.merge(trainable, frozen)
+        rng_dp, rng_aug, rng_n1, rng_n2 = jax.random.split(rng, 4)
+        (mono_outputs, outputs), mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch,
+            min_bin,
+            max_bin,
+            True,  # train
+            freeze_tp,
+            opt.freeze_pose,
+            rngs={"droppath": rng_dp, "aug": rng_aug},
+            mutable=["batch_stats"],
+        )
+
+        # teacher branch
+        mono_loss, mono_aux, mono_depth = _branch_losses(
+            batch, mono_outputs, opt, rng_n1, is_multi=False
+        )
+        # expose teacher depth to the student branch (trainer.py:443-448)
+        outputs[("mono_depth", 0, 0)] = mono_depth
+
+        # distrust cost-volume where it disagrees with the teacher
+        # (trainer.py:450-451, 859-869)
+        outputs["consistency_mask"] = (
+            outputs["consistency_mask"]
+            * L.matching_mask(
+                jax.lax.stop_gradient(mono_depth), outputs["lowest_cost"]
+            )[..., 0]
+        )
+
+        multi_loss, multi_aux, _ = _branch_losses(
+            batch, outputs, opt, rng_n2, is_multi=True
+        )
+
+        total = multi_loss
+        if not freeze_tp:
+            total = total + mono_loss  # trainer.py:459-461
+
+        metrics = {
+            "loss": total,
+            "mono/loss": mono_loss,
+            "mono/reproj": mono_aux["reproj_loss"],
+            "multi/loss": multi_loss,
+            "multi/reproj": multi_aux["reproj_loss"],
+            "multi/consistency": multi_aux["consistency_loss"],
+        }
+        return total, (mutated["batch_stats"], metrics, mono_depth)
+
+    def train_step(state: TrainState, batch, rng):
+        grad_fn = jax.value_and_grad(loss_fn, argnums=0, has_aux=True)
+        (loss, (new_stats, metrics, mono_depth)), grads = grad_fn(
+            state.trainable, state.frozen, state.batch_stats, batch,
+            state.min_depth_bin, state.max_depth_bin, rng,
+        )
+        updates, new_opt_state = tx.update(
+            grads, state.opt_state, state.trainable
+        )
+        new_trainable = optax.apply_updates(state.trainable, updates)
+
+        if update_bins:
+            d = jax.lax.stop_gradient(mono_depth)
+            dmin = jnp.mean(jnp.min(d, axis=(1, 2, 3)))
+            dmax = jnp.mean(jnp.max(d, axis=(1, 2, 3)))
+            dmin = jnp.maximum(opt.min_depth, dmin * 0.9)
+            dmax = dmax * 1.1
+            new_min = state.min_depth_bin * 0.99 + dmin * 0.01
+            new_max = state.max_depth_bin * 0.99 + dmax * 0.01
+        else:
+            new_min, new_max = state.min_depth_bin, state.max_depth_bin
+
+        new_state = state.replace(
+            step=state.step + 1,
+            trainable=new_trainable,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+            min_depth_bin=new_min,
+            max_depth_bin=new_max,
+        )
+        metrics["depth_bins/min"] = new_min
+        metrics["depth_bins/max"] = new_max
+        return new_state, metrics
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(train_step, donate_argnums=donate_argnums)

@@ -1,0 +1,139 @@
+"""Train-step tests: freeze partition, overfit-one-batch, DP equivalence."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ppeadepth_tpu.options import Config
+from ppeadepth_tpu.models import RepDepth
+from ppeadepth_tpu.train import freeze, schedule
+from ppeadepth_tpu.train.step import TrainState, create_train_state, make_train_step
+from ppeadepth_tpu.parallel import mesh as M
+
+TINY = Config(
+    adapter=True, rep_size="t", use_checkpoint=False,
+    height=64, width=96, batch_size=8, num_depth_bins=8, bin_chunk=4,
+    adpt_test=4, no_matching_augmentation=False,
+)
+
+
+def make_batch(opt, B, seed=0):
+    rng = np.random.RandomState(seed)
+    H, W = opt.height, opt.width
+    batch = {}
+    base = rng.rand(H, W + 8, 3).astype(np.float32)
+    for _ in range(3):
+        base = 0.5 * base + 0.25 * np.roll(base, 1, 1) + 0.25 * np.roll(base, -1, 1)
+    frames = {0: base[:, 4:-4], -1: base[:, :-8], 1: base[:, 8:]}
+    for f in (0, -1, 1):
+        img = np.stack([frames[f]] * B)
+        img += rng.rand(B, H, W, 3).astype(np.float32) * 0.01
+        batch[("color", f, 0)] = jnp.asarray(img)
+        batch[("color_aug", f, 0)] = jnp.asarray(img)
+    for s in (0, 2):
+        K = np.eye(4, dtype=np.float32)
+        sc = 2 ** s
+        K[0, 0], K[1, 1] = 0.58 * W / sc, 1.92 * H / sc
+        K[0, 2], K[1, 2] = 0.5 * W / sc, 0.5 * H / sc
+        batch[("K", s)] = jnp.asarray(np.stack([K] * B))
+        batch[("inv_K", s)] = jnp.asarray(np.stack([np.linalg.pinv(K)] * B))
+    return batch
+
+
+def init_model_state(opt, B):
+    model = RepDepth(opt)
+    batch = make_batch(opt, B)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "droppath": jax.random.PRNGKey(1),
+         "aug": jax.random.PRNGKey(2)},
+        batch, 0.1, 10.0, False,
+    )
+    tx = schedule.make_optimizer(1e-4, steps_per_epoch=100)
+    state = create_train_state(model, variables, opt, tx)
+    return model, state, tx, batch
+
+
+def test_freeze_labels_stage1():
+    model, state, _, _ = init_model_state(TINY, 2)
+    params = freeze.merge(state.trainable, state.frozen)
+    labels = freeze.param_labels(params, TINY)
+    flat_p = {"/".join(k): v for k, v in
+              __import__("flax").traverse_util.flatten_dict(params).items()}
+    flat_l = {"/".join(k): v for k, v in
+              __import__("flax").traverse_util.flatten_dict(labels).items()}
+    # backbone conv kernels frozen; adapters/bn/reduce trainable
+    assert flat_l["encoder/replk/stages_0/blocks_0/pw1/conv/kernel"] == "frozen"
+    assert flat_l["encoder/replk/stages_0/blocks_0/pw1/bn/scale"] == "trainable"
+    assert flat_l["encoder/replk/stages_0/blocks_0/adapter/D_fc1/kernel"] == "trainable"
+    assert flat_l["encoder/reduce_conv/kernel"] == "trainable"
+    assert flat_l["mono_encoder/stages_0/blocks_0/pw1/conv/kernel"] == "frozen"
+    # decoders + pose fully trainable in stage 1
+    for k, v in flat_l.items():
+        if k.startswith(("depth/", "mono_depth/", "pose")):
+            assert v == "trainable", k
+    # trainable fraction is small (PEA design)
+    n_train = freeze.count_params(state.trainable)
+    n_total = n_train + freeze.count_params(state.frozen)
+    assert n_train < n_total
+
+
+def test_freeze_labels_stage2_dc():
+    opt = TINY.replace(dc=True, dec_id=1)
+    model = RepDepth(opt)
+    batch = make_batch(opt, 2)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "droppath": jax.random.PRNGKey(1),
+         "aug": jax.random.PRNGKey(2)},
+        batch, 0.1, 10.0, False,
+    )
+    labels = freeze.param_labels(variables["params"], opt)
+    import flax
+    flat_l = {"/".join(k): v
+              for k, v in flax.traverse_util.flatten_dict(labels).items()}
+    assert flat_l["depth/adapter/D_fc1/kernel"] == "trainable"
+    assert flat_l["depth/deconv_adpt/kernel"] == "trainable"
+    # everything non-adapter in the decoders is frozen in stage 2
+    assert flat_l["depth/upconvs_0_0/conv/conv/kernel"] == "frozen"
+    assert flat_l["depth/disp_conv/conv/kernel"] == "frozen"
+
+
+def test_overfit_one_batch():
+    """Loss decreases over a few steps on a fixed synthetic batch."""
+    opt = TINY.replace(no_matching_augmentation=True)
+    model, state, tx, batch = init_model_state(opt, 4)
+    batch = make_batch(opt, 4)
+    step_fn = make_train_step(model, opt, tx, donate=False)
+    losses = []
+    for i in range(6):
+        state, metrics = step_fn(state, batch, jax.random.PRNGKey(100 + i))
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all(), losses
+    assert losses[-1] < losses[0], losses
+    # depth bins moved off their defaults
+    assert float(state.max_depth_bin) != 10.0
+
+
+def test_dp_equivalence():
+    """8-device dp-sharded step == single-device step (same math)."""
+    assert len(jax.devices()) >= 8
+    opt = TINY.replace(no_matching_augmentation=True)
+    model, state, tx, _ = init_model_state(opt, 8)
+    batch = make_batch(opt, 8)
+    step_fn = make_train_step(model, opt, tx, donate=False)
+    rng = jax.random.PRNGKey(7)
+
+    _, m_single = step_fn(state, batch, rng)
+
+    mesh = M.make_mesh(8)
+    state_r = M.replicate(state, mesh)
+    batch_s = M.shard_batch(batch, mesh)
+    _, m_dp = step_fn(state_r, batch_s, rng)
+
+    np.testing.assert_allclose(
+        float(m_single["loss"]), float(m_dp["loss"]), rtol=2e-4
+    )
+    np.testing.assert_allclose(
+        float(m_single["depth_bins/max"]), float(m_dp["depth_bins/max"]),
+        rtol=1e-5,
+    )
