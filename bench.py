@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Benchmark: single-frame depth inference FPS per chip at 640x192 —
+the BASELINE.json north-star metric (the reference measures average
+inference time in evaluate_depth.py:178-179 on this exact path:
+mono_encoder (RepLKNet-31B + adapters) -> mono_depth -> disp).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "fps/chip", "vs_baseline": N}
+
+vs_baseline: the reference publishes no FPS number (BASELINE.md), so the
+ratio is reported against the most recent recorded BENCH_r*.json value
+(progress across rounds); 1.0 on the first measurement.
+
+Env knobs: PPEA_BENCH_DTYPE (bfloat16|float32, default bfloat16 — TPU
+deploy dtype), PPEA_BENCH_BATCH (default 8), PPEA_LK_BACKEND (lax|pallas).
+"""
+
+import glob
+import json
+import os
+import sys
+import time
+
+
+def _previous_value():
+    vals = []
+    for path in sorted(glob.glob("BENCH_r*.json")):
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+            if rec.get("unit") == "fps/chip":
+                vals.append(float(rec["value"]))
+        except Exception:
+            pass
+    return vals[-1] if vals else None
+
+
+def main():
+    import jax
+
+    os.makedirs(".jax_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+
+    from ppeadepth_tpu.options import Config
+    from ppeadepth_tpu.models import RepDepth
+
+    dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
+        os.environ.get("PPEA_BENCH_DTYPE", "bfloat16")
+    ]
+    B = int(os.environ.get("PPEA_BENCH_BATCH", "8"))
+    H, W = 192, 640
+
+    opt = Config(adapter=True, rep_size="b", use_checkpoint=False,
+                 height=H, width=W, adpt_test=4)
+    model = RepDepth(opt)
+    x = jnp.zeros((B, H, W, 3), jnp.float32)
+    variables = jax.jit(
+        lambda: model.init(
+            {"params": jax.random.PRNGKey(0),
+             "droppath": jax.random.PRNGKey(1)},
+            x[:1], method=RepDepth.forward_mono,
+        )
+    )()
+    variables = jax.tree_util.tree_map(
+        lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, variables
+    )
+
+    fwd = jax.jit(
+        lambda img: model.apply(
+            variables, img, False, method=RepDepth.forward_mono
+        )[("disp", 0)]
+    )
+
+    xb = x.astype(dtype)
+    out = fwd(xb)
+    out.block_until_ready()  # compile
+    # warmup
+    for _ in range(3):
+        out = fwd(xb)
+    out.block_until_ready()
+
+    iters = int(os.environ.get("PPEA_BENCH_ITERS", "30"))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(xb)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    fps = B * iters / dt
+
+    prev = _previous_value()
+    vs = fps / prev if prev else 1.0
+    print(json.dumps({
+        "metric": "depth_inference_fps_per_chip_640x192_replknet31b_adapter",
+        "value": round(fps, 2),
+        "unit": "fps/chip",
+        "vs_baseline": round(vs, 4),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,19 @@
+from .mono_dataset import MonoDataset  # noqa: F401
+from .kitti import (  # noqa: F401
+    KITTIDataset,
+    KITTIRAWDataset,
+    KITTIOdomDataset,
+    KITTIDepthDataset,
+)
+from .cityscapes import (  # noqa: F401
+    CityscapesPreprocessedDataset,
+    CityscapesEvalDataset,
+)
+from .loader import DataLoader  # noqa: F401
+
+DATASETS = {
+    "kitti": KITTIRAWDataset,
+    "kitti_odom": KITTIOdomDataset,
+    "cityscapes_preprocessed": CityscapesPreprocessedDataset,
+    "cityscapes_eval": CityscapesEvalDataset,
+}

@@ -1,0 +1,223 @@
+"""Training orchestrator (the Trainer of trainer.py:83-418, TPU-native).
+
+Differences from the reference by design:
+  - one jitted train step contains forward/loss/grads/update/bin-EMA;
+  - data parallelism is a dp mesh (batch sharded, state replicated) —
+    no accelerate/DDP wrapper, no barriers;
+  - validation shards over the mesh instead of running on rank 0 only;
+  - logging is stdout + metrics.jsonl (wandb-free by default).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import data as D
+from ..ckpt import io as ckpt_io
+from ..eval import evaluator, metrics as M
+from ..models import RepDepth
+from ..options import Config
+from ..parallel import mesh as mesh_lib
+from . import freeze, schedule
+from .step import create_train_state, make_train_step
+
+
+def readlines(path):
+    with open(path) as f:
+        return [line.rstrip() for line in f if line.rstrip()]
+
+
+def synthetic_batch(opt: Config, B: int):
+    """Shape-only batch for model init (no data needed)."""
+    rng = np.random.RandomState(0)
+    H, W = opt.height, opt.width
+    batch = {}
+    for f in opt.frame_ids:
+        img = rng.rand(B, H, W, 3).astype(np.float32)
+        batch[("color", f, 0)] = jnp.asarray(img)
+        batch[("color_aug", f, 0)] = jnp.asarray(img)
+    for s in range(4):
+        K = np.eye(4, dtype=np.float32)
+        sc = 2 ** s
+        K[0, 0], K[1, 1] = 0.58 * W / sc, 1.92 * H / sc
+        K[0, 2], K[1, 2] = 0.5 * W / sc, 0.5 * H / sc
+        batch[("K", s)] = jnp.asarray(np.stack([K] * B))
+        batch[("inv_K", s)] = jnp.asarray(np.stack([np.linalg.pinv(K)] * B))
+    return batch
+
+
+class Trainer:
+    def __init__(self, opt: Config, splits_dir: str = "./splits"):
+        self.opt = opt = opt.with_mode_presets()
+        self.splits_dir = splits_dir
+        self.log_path = os.path.join(opt.log_dir, opt.name)
+        os.makedirs(self.log_path, exist_ok=True)
+
+        self.mesh = mesh_lib.make_mesh()
+        n_dev = self.mesh.devices.size
+        assert opt.batch_size % n_dev == 0 or n_dev == 1, (
+            f"batch_size {opt.batch_size} not divisible by {n_dev} devices"
+        )
+
+        # datasets
+        frames_to_load = list(opt.frame_ids)
+        for idx in opt.matching_ids:
+            if idx not in frames_to_load:
+                frames_to_load.append(idx)
+        self.val_frames_to_load = [0, -1]
+
+        self.train_loader = self.val_loader = None
+        if opt.data_path:
+            ds_cls = D.DATASETS[opt.dataset]
+            fpath = os.path.join(splits_dir, opt.split, "{}_files.txt")
+            train_files = readlines(fpath.format("train"))
+            test_files = readlines(fpath.format("test"))
+            img_ext = ".png" if opt.png else ".jpg"
+            train_ds = ds_cls(
+                opt.data_path, train_files, opt.height, opt.width,
+                frames_to_load, 4, is_train=True, img_ext=img_ext,
+            )
+            val_path = opt.data_path
+            val_cls = ds_cls
+            if opt.dataset != "kitti":
+                val_cls = D.DATASETS["cityscapes_eval"]
+                val_path = opt.cs_eval_path
+            val_ds = val_cls(
+                val_path, test_files, opt.height, opt.width,
+                self.val_frames_to_load, 4, is_train=False, img_ext=img_ext,
+            )
+            self.train_loader = D.DataLoader(
+                train_ds, opt.batch_size, shuffle=True,
+                num_workers=opt.num_workers,
+            )
+            self.val_loader = D.DataLoader(
+                val_ds, opt.batch_size, shuffle=False,
+                num_workers=opt.num_workers, drop_last=False,
+            )
+            self.steps_per_epoch = len(self.train_loader)
+        else:
+            self.steps_per_epoch = 1000  # synthetic / smoke mode
+
+        # model + state
+        self.model = RepDepth(opt)
+        init_batch = synthetic_batch(opt, 2)
+        variables = jax.jit(
+            lambda: self.model.init(
+                {"params": jax.random.PRNGKey(0),
+                 "droppath": jax.random.PRNGKey(1),
+                 "aug": jax.random.PRNGKey(2)},
+                init_batch, 0.1, 10.0, False,
+            )
+        )()
+        lr = 1e-6 if opt.freeze_pose else opt.learning_rate
+        self.tx = schedule.make_optimizer(
+            lr, self.steps_per_epoch, opt.scheduler_step_size
+        )
+        self.state = create_train_state(self.model, variables, opt, self.tx)
+
+        labels = freeze.param_labels(variables["params"], opt)
+        freeze.print_num_param(variables["params"], labels)
+
+        if opt.load_weights_folder:
+            self.load_model(opt.load_weights_folder)
+
+        self.state = mesh_lib.replicate(self.state, self.mesh)
+        self.step_fn = make_train_step(self.model, opt, self.tx)
+        self.base_rng = jax.random.PRNGKey(opt.pytorch_random_seed or 0)
+        self._metrics_file = open(
+            os.path.join(self.log_path, "metrics.jsonl"), "a"
+        )
+
+    # ------------------------------------------------------------------ #
+
+    def load_model(self, folder: str):
+        params, stats, track = ckpt_io.load_model(
+            folder, self.state.params, self.state.batch_stats
+        )
+        labels = freeze.param_labels(params, self.opt)
+        trainable, frozen = freeze.partition(params, labels)
+        opt_state = self.state.opt_state
+        if not self.opt.ktf:  # --ktf skips track/adam (trainer.py:151)
+            opt_state = ckpt_io.load_adam(folder, self.state.opt_state)
+        self.state = self.state.replace(
+            trainable=trainable, frozen=frozen, batch_stats=stats,
+            min_depth_bin=jnp.asarray(
+                track.get("min_depth_bin", 0.1), jnp.float32),
+            max_depth_bin=jnp.asarray(
+                track.get("max_depth_bin", 10.0), jnp.float32),
+            opt_state=opt_state,
+        )
+        print(f"loaded checkpoint from {folder} "
+              f"(bins {float(self.state.min_depth_bin):.3f}"
+              f"/{float(self.state.max_depth_bin):.3f})")
+
+    def save_model(self, suffix: str):
+        folder = os.path.join(self.log_path, f"{self.opt.name}_{suffix}")
+        ckpt_io.save_checkpoint(folder, self.state, self.opt)
+        print(f"saved checkpoint to {folder}")
+        return folder
+
+    def log_metrics(self, step: int, metrics: dict, prefix: str = "train"):
+        rec = {"step": step, "prefix": prefix}
+        rec.update({k: float(v) for k, v in metrics.items()})
+        self._metrics_file.write(json.dumps(rec) + "\n")
+        self._metrics_file.flush()
+
+    # ------------------------------------------------------------------ #
+
+    def train(self):
+        opt = self.opt
+        assert self.train_loader is not None, "--data_path required to train"
+        step = int(jax.device_get(self.state.step))
+        t_last = time.perf_counter()
+        for epoch in range(opt.num_epochs):
+            self.train_loader.set_epoch(epoch)
+            it = D.device_prefetch(iter(self.train_loader), self.mesh)
+            for batch in it:
+                rng = jax.random.fold_in(self.base_rng, step)
+                self.state, metrics = self.step_fn(self.state, batch, rng)
+                step += 1
+                if step % 50 == 0:
+                    metrics = jax.device_get(metrics)
+                    dt = time.perf_counter() - t_last
+                    ips = 50 * opt.batch_size / dt
+                    t_last = time.perf_counter()
+                    print(f"epoch {epoch} step {step} "
+                          f"loss {metrics['loss']:.4f} {ips:.1f} img/s")
+                    self.log_metrics(step, metrics)
+                if opt.validate_every > 0 and step % opt.validate_every == 0:
+                    self.validate(step)
+                    self.save_model(f"s{step}")
+        self.save_model("final")
+
+    def validate(self, step: int):
+        if self.val_loader is None:
+            return None
+        errors, mono_errors = evaluator.run_eval(
+            self.model,
+            {"params": self.state.params,
+             "batch_stats": self.state.batch_stats},
+            self.opt, iter(self.val_loader),
+            min_bin=self.state.min_depth_bin,
+            max_bin=self.state.max_depth_bin,
+            with_teacher=not self.opt.freeze_teacher_and_pose,
+            splits_dir=self.splits_dir,
+        )
+        print(f"[val @ {step}]\n" + M.format_metrics(errors))
+        self.log_metrics(
+            step, dict(zip(M.METRIC_NAMES, errors)), prefix="val"
+        )
+        if mono_errors is not None:
+            print("[val mono]\n" + M.format_metrics(mono_errors))
+            self.log_metrics(
+                step, dict(zip(M.METRIC_NAMES, mono_errors)),
+                prefix="val_mono",
+            )
+        return errors
