@@ -9,6 +9,7 @@ from .cityscapes import (  # noqa: F401
     CityscapesPreprocessedDataset,
     CityscapesEvalDataset,
 )
+from .ddad import DDADNpzDataset  # noqa: F401
 from .loader import DataLoader  # noqa: F401
 
 DATASETS = {
@@ -16,4 +17,5 @@ DATASETS = {
     "kitti_odom": KITTIOdomDataset,
     "cityscapes_preprocessed": CityscapesPreprocessedDataset,
     "cityscapes_eval": CityscapesEvalDataset,
+    "ddad": DDADNpzDataset,
 }

@@ -1,1 +1,1 @@
-from . import metrics, evaluator  # noqa: F401
+from . import ablation, evaluator, metrics  # noqa: F401

@@ -104,6 +104,8 @@ def run_eval(
     with_teacher: bool = False,
     gt_depths=None,
     splits_dir: str = "./splits",
+    min_val: float = MIN_VAL,
+    max_val: float = MAX_VAL,
 ):
     """Full evaluation: returns (mean_errors, mono_mean_errors|None)."""
     step = make_eval_step(model, opt, with_teacher)
@@ -122,14 +124,14 @@ def run_eval(
         gt_depths = load_gt_depths(opt, pred_disps.shape[0], splits_dir)
 
     mean_errors, _ = metrics.evaluate_disps(
-        pred_disps, gt_depths, opt.eval_split, MIN_VAL, MAX_VAL,
+        pred_disps, gt_depths, opt.eval_split, min_val, max_val,
         opt.disable_median_scaling, opt.pred_depth_scale_factor,
     )
     mono_errors = None
     if mono_disps:
         mono_errors, _ = metrics.evaluate_disps(
             np.concatenate(mono_disps, 0), gt_depths, opt.eval_split,
-            MIN_VAL, MAX_VAL, opt.disable_median_scaling,
+            min_val, max_val, opt.disable_median_scaling,
             opt.pred_depth_scale_factor,
         )
     return mean_errors, mono_errors
