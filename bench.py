@@ -35,6 +35,42 @@ def _previous_value():
     return vals[-1] if vals else None
 
 
+def _device_time_per_iter(run_iter, iters):
+    """Trace `iters` executions and return device seconds per iteration
+    of the dominant jitted program, or None if tracing/parsing fails."""
+    import collections
+    import gzip
+    import tempfile
+
+    import jax
+    import numpy as np
+
+    try:
+        tmp = tempfile.mkdtemp(prefix="ppea_bench_trace")
+        jax.profiler.start_trace(tmp)
+        for i in range(iters):
+            out = run_iter(i)
+        jax.block_until_ready(out)
+        np.asarray(out)
+        jax.profiler.stop_trace()
+        paths = sorted(glob.glob(f"{tmp}/plugins/profile/*/*.trace.json.gz"))
+        if not paths:
+            return None
+        with gzip.open(paths[-1]) as f:
+            trace = json.load(f)
+        durs = collections.Counter()
+        for e in trace.get("traceEvents", []):
+            name = e.get("name", "")
+            if e.get("ph") == "X" and "dur" in e and name.startswith("jit"):
+                durs[name] += e["dur"]
+        if not durs:
+            return None
+        total_us = durs.most_common(1)[0][1]
+        return total_us / 1e6 / iters
+    except Exception:
+        return None
+
+
 def main():
     import jax
 
@@ -75,30 +111,32 @@ def main():
         )[("disp", 0)]
     )
 
-    # Benchmark methodology note: on tunneled/remote TPU platforms,
-    # block_until_ready()-based timing is unreliable (completion signals
-    # can resolve early, identical executions may be coalesced). We use
-    # DISTINCT pre-staged device inputs, fetch the output to host every
-    # iteration, and take the per-iteration MEDIAN to reject queue
-    # hiccups. This slightly over-counts (includes D2H of the disparity
-    # map) — i.e. the reported FPS is a lower bound on device throughput.
+    # Benchmark methodology: on tunneled/remote TPU platforms wall-clock
+    # timing is unreliable in BOTH directions (block_until_ready can
+    # resolve early; host fetches crawl through the tunnel at ~10 MB/s).
+    # Ground truth is the device-side trace: run N distinct-input
+    # iterations under jax.profiler and sum the device execution time of
+    # the jitted program. Falls back to host wall-clock with per-iter
+    # fetches when the trace is unavailable.
     import numpy as np
 
     rng = np.random.RandomState(0)
-    iters = int(os.environ.get("PPEA_BENCH_ITERS", "12"))
+    iters = int(os.environ.get("PPEA_BENCH_ITERS", "8"))
     xs = [
         jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32)).astype(dtype)
         for _ in range(iters)
     ]
-    out = np.asarray(fwd(variables, xs[0]))  # compile + warm
-    out = np.asarray(fwd(variables, xs[1]))
+    np.asarray(fwd(variables, xs[0]))  # compile + warm
+    np.asarray(fwd(variables, xs[1]))
 
-    times = []
-    for i in range(iters):
-        t0 = time.perf_counter()
-        np.asarray(fwd(variables, xs[i]))
-        times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))
+    dt = _device_time_per_iter(lambda i: fwd(variables, xs[i]), iters)
+    if dt is None:
+        times = []
+        for i in range(iters):
+            t0 = time.perf_counter()
+            np.asarray(fwd(variables, xs[i]))
+            times.append(time.perf_counter() - t0)
+        dt = float(np.median(times))
     fps = B / dt
 
     prev = _previous_value()
