@@ -10,7 +10,7 @@ from .cityscapes import (  # noqa: F401
     CityscapesEvalDataset,
 )
 from .ddad import DDADNpzDataset  # noqa: F401
-from .loader import DataLoader  # noqa: F401
+from .loader import DataLoader, device_prefetch  # noqa: F401
 
 DATASETS = {
     "kitti": KITTIRAWDataset,

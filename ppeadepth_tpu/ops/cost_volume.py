@@ -194,6 +194,83 @@ def plane_sweep_cost_volume(
     return cost, missing
 
 
+def occlusion_fill(
+    cost_volume,
+    lookup_images,
+    rel_poses,
+    K,
+    invK,
+    depth_bins,
+    aug_mask,
+    set_1=False,
+    pool=True,
+    pool_radius=1,
+    pool_threshold=0.7,
+    matching_hw=None,
+):
+    """DynamicDepth-style occlusion handling for stage-2 dynamic scenes
+    (match_features_dyn, replk_matching_adapter.py:163-258).
+
+    Pixels occluded by the DOMD module come out black (RGB sum < 0.15,
+    :166); the occlusion map is projected through every depth plane and
+    the corresponding cost entries are either set to 1.0 (`set_1`) or
+    in-filled from nearby non-occluded costs with a 3D max-pool (`pool`).
+    Skipped for samples under matching augmentation (aug_mask == 1).
+
+    cost_volume: [B, D, h, w]; lookup_images: [B, F, H, W, 3] (full res).
+    Returns the adjusted cost volume.
+    """
+    B, D, h, w = cost_volume.shape
+    F_ = lookup_images.shape[1]
+    # occlusion map at matching resolution (nearest is fine for a mask)
+    occ = (jnp.sum(lookup_images, axis=-1, keepdims=True) < 0.15)
+    occ = occ.astype(jnp.float32).reshape(B * F_, *lookup_images.shape[2:4], 1)
+    occ = jax.image.resize(occ, (B * F_, h, w, 1), method="linear")
+    occ = occ.reshape(B, F_, h, w)
+
+    # project the occlusion mask through every depth plane of every frame
+    # and OR over frames (the reference handles one frame at a time inside
+    # its accumulation loop; with avg/min over frames the adjusted cost is
+    # equivalent for the live single-lookup-frame config)
+    mask_any = jnp.zeros((B, D, h, w), jnp.float32)
+    for f in range(F_):
+        T = rel_poses[:, f]
+        P = jnp.matmul(K, T, precision=_HI)[:, :3, :]
+        A = jnp.matmul(P[:, :, :3], invK[:, :3, :3], precision=_HI)
+        t = P[:, :, 3]
+        valid = (jnp.sum(jnp.abs(T), axis=(1, 2)) > 0).astype(jnp.float32)
+
+        def frame_mask(occ_f, a, tt):
+            occ_flat = occ_f.reshape(h * w, 1)
+            pix = pixel_grid(h, w)
+            base = jnp.matmul(a, pix, precision=_HI)
+            cam = base[None] * depth_bins[:, None, None] + tt[None, :, None]
+            x = cam[:, 0, :] / (cam[:, 2, :] + 1e-7)
+            y = cam[:, 1, :] / (cam[:, 2, :] + 1e-7)
+            warped = _sample_one_zeros(occ_flat, x, y, h, w)[..., 0]
+            return (warped > pool_threshold).astype(jnp.float32)
+
+        m = jax.vmap(frame_mask)(occ[:, f], A, t).reshape(B, D, h, w)
+        mask_any = jnp.maximum(mask_any, m * valid[:, None, None, None])
+
+    # samples under matching augmentation keep their raw cost
+    mask_any = mask_any * (1.0 - aug_mask.reshape(B, 1, 1, 1))
+
+    if set_1:
+        return jnp.where(mask_any > 0, 1.0, cost_volume)
+    if pool:
+        x = jnp.where(mask_any > 0, 0.0, cost_volume)
+        r = pool_radius
+        pooled = jax.lax.reduce_window(
+            x, -jnp.inf, jax.lax.max,
+            (1, 2 * r + 1, 2 * r + 1, 2 * r + 1),
+            (1, 1, 1, 1),
+            "SAME",
+        )
+        return jnp.where(mask_any > 0, pooled, cost_volume)
+    return cost_volume
+
+
 def confidence_mask(cost_volume, missing_mask, num_bins_threshold=None):
     """Pixel confident iff all bins observed (replk_matching.py:242-249)."""
     D = cost_volume.shape[1]

@@ -1,1 +1,1 @@
-from . import profiling, vis  # noqa: F401
+from . import misc, profiling, vis  # noqa: F401
