@@ -85,9 +85,23 @@ class RepLKMatching(nn.Module):
         min_depth_bin,
         max_depth_bin,
         train: bool = False,
+        aug_mask=None,
+        dyn: bool = False,
+        cv_min: bool = False,
+        cv_set_1: bool = False,
+        cv_pool: bool = True,
+        cv_pool_radius: int = 1,
+        cv_pool_th: float = 0.7,
     ):
         """current_image: [B, H, W, 3]; lookup_images: [B, F, H, W, 3];
         poses: [B, F, 4, 4]; K/invK: [B, 4, 4] at 1/4 (matching) scale.
+
+        `dyn` enables the DynamicDepth-style cost volume (min-over-frames +
+        occlusion in-fill, match_features_dyn) used for dynamic-scene
+        stage-2 training. NOTE: the reference snapshot never wires this
+        from RepDepth.forward (its teacher_depth argument is never passed,
+        replk_matching_adapter.py:389-445), so `dyn=False` is the parity
+        default; the capability is exposed for the paper's --dc pipeline.
 
         Returns (features[4], lowest_cost [B, H/4, W/4],
         confidence_mask [B, H/4, W/4]).
@@ -116,7 +130,17 @@ class RepLKMatching(nn.Module):
             invK,
             bins,
             bin_chunk=self.bin_chunk,
+            cv_min=dyn and cv_min,
         )  # [B, D, h, w]
+        if dyn and (cv_set_1 or cv_pool):
+            if aug_mask is None:
+                aug_mask = jnp.zeros((B, 1, 1, 1), jnp.float32)
+            cost = CV.occlusion_fill(
+                cost, jax.lax.stop_gradient(lookup_images),
+                jax.lax.stop_gradient(poses), K, invK, bins, aug_mask,
+                set_1=cv_set_1, pool=cv_pool, pool_radius=cv_pool_radius,
+                pool_threshold=cv_pool_th,
+            )
         conf = CV.confidence_mask(
             jax.lax.stop_gradient(cost), jax.lax.stop_gradient(missing)
         )  # [B, h, w]

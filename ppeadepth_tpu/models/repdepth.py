@@ -164,12 +164,21 @@ class RepDepth(nn.Module):
         return self.mono_depth(feats, train)
 
     def forward_multi(self, image, lookup_frames, rel_poses, K2, invK2,
-                      min_depth_bin, max_depth_bin, train: bool = False):
+                      min_depth_bin, max_depth_bin, train: bool = False,
+                      aug_mask=None):
         """Student multi-frame path (used standalone by validation,
         trainer.py:741-742)."""
+        opt = self.opt
         features, lowest_cost, conf = self.encoder(
             image, lookup_frames, rel_poses, K2, invK2,
             min_depth_bin, max_depth_bin, train,
+            aug_mask=aug_mask,
+            dyn=opt.dyn_cv,
+            cv_min=opt.cv_min,
+            cv_set_1=opt.cv_set_1,
+            cv_pool=opt.cv_pool,
+            cv_pool_radius=opt.cv_pool_radius,
+            cv_pool_th=opt.cv_pool_th,
         )
         out = self.depth(features, train)
         return out, lowest_cost, conf
@@ -239,6 +248,7 @@ class RepDepth(nn.Module):
             img_aug, lookup_frames, rel_poses,
             inputs[("K", 2)], inputs[("inv_K", 2)],
             min_depth_bin, max_depth_bin, train,
+            aug_mask=augmentation_mask,
         )
         outputs.update(multi_out)
 

@@ -61,6 +61,7 @@ class Config:
     cv_min: bool = False
     cv_set_1: bool = False
     cv_pool: bool = False
+    dyn_cv: bool = False  # wire match_features_dyn (unwired in reference)
     cv_pool_radius: int = 1
     cv_pool_th: float = 0.7
 
@@ -161,6 +162,8 @@ def _add_flags(p: argparse.ArgumentParser):
         default = getattr(defaults, f.name)
         if f.type == "bool" or isinstance(default, bool):
             p.add_argument(name, action="store_true", default=default)
+        elif f.name == "pytorch_random_seed":
+            p.add_argument(name, type=int, default=None)
         elif f.name == "frame_ids":
             p.add_argument(name, nargs="+", type=int, default=list(default))
         elif isinstance(default, int):
