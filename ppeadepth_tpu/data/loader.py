@@ -101,11 +101,11 @@ def device_prefetch(iterator, mesh=None, size: int = 2):
 
         def place(b):
             return shard_batch(
-                {k: jax.numpy.asarray(v) for k, v in b.items()}, mesh
+                jax.tree_util.tree_map(jax.numpy.asarray, b), mesh
             )
     else:
         def place(b):
-            return {k: jax.numpy.asarray(v) for k, v in b.items()}
+            return jax.tree_util.tree_map(jax.numpy.asarray, b)
 
     q: "queue.Queue" = queue.Queue(maxsize=size)
     sentinel = object()

@@ -119,6 +119,7 @@ class Config:
     compute_dtype: str = "bfloat16"  # bf16 compute / f32 params
     lk_backend: str = "lax"          # 'lax' | 'pallas'
     bin_chunk: int = 16
+    fast_pipeline: bool = False      # native decode + device-side augment
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)

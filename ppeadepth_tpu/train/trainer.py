@@ -93,10 +93,21 @@ class Trainer:
                 val_path, test_files, opt.height, opt.width,
                 self.val_frames_to_load, 4, is_train=False, img_ext=img_ext,
             )
-            self.train_loader = D.DataLoader(
-                train_ds, opt.batch_size, shuffle=True,
-                num_workers=opt.num_workers,
-            )
+            if opt.fast_pipeline:
+                from ..data import native_loader as NL
+                from ..data.fast_pipeline import FastDecodePipeline
+
+                assert NL.available(), "--fast_pipeline needs the native loader"
+                frames_needed = sorted(set(frames_to_load))
+                self.train_loader = FastDecodePipeline(
+                    train_ds, opt.batch_size, frames_needed,
+                    shuffle=True, n_threads=opt.num_workers,
+                )
+            else:
+                self.train_loader = D.DataLoader(
+                    train_ds, opt.batch_size, shuffle=True,
+                    num_workers=opt.num_workers,
+                )
             self.val_loader = D.DataLoader(
                 val_ds, opt.batch_size, shuffle=False,
                 num_workers=opt.num_workers, drop_last=False,
@@ -134,6 +145,16 @@ class Trainer:
         self._metrics_file = open(
             os.path.join(self.log_path, "metrics.jsonl"), "a"
         )
+        self._wandb = None
+        if os.environ.get("PPEA_WANDB"):
+            try:
+                import wandb
+
+                self._wandb = wandb
+                wandb.init(project="ppeadepth_tpu", name=opt.name,
+                           config=opt.__dict__)
+            except Exception as e:
+                print(f"[trainer] wandb unavailable: {e}")
 
     # ------------------------------------------------------------------ #
 
@@ -169,6 +190,12 @@ class Trainer:
         rec.update({k: float(v) for k, v in metrics.items()})
         self._metrics_file.write(json.dumps(rec) + "\n")
         self._metrics_file.flush()
+        if self._wandb is not None:
+            self._wandb.log(
+                {f"{prefix}/{k}": v for k, v in rec.items()
+                 if k not in ("step", "prefix")},
+                step=step,
+            )
 
     # ------------------------------------------------------------------ #
 
@@ -177,11 +204,24 @@ class Trainer:
         assert self.train_loader is not None, "--data_path required to train"
         step = int(jax.device_get(self.state.step))
         t_last = time.perf_counter()
+        prepare = None
+        if opt.fast_pipeline:
+            from ..data.fast_pipeline import prepare_batch
+
+            prepare = jax.jit(
+                lambda fr, k, r: prepare_batch(
+                    fr, k, r, opt.height, opt.width, 4
+                )
+            )
         for epoch in range(opt.num_epochs):
             self.train_loader.set_epoch(epoch)
             it = D.device_prefetch(iter(self.train_loader), self.mesh)
             for batch in it:
                 rng = jax.random.fold_in(self.base_rng, step)
+                if prepare is not None:
+                    frames, K = batch
+                    rng, rng_aug = jax.random.split(rng)
+                    batch = prepare(frames, K, rng_aug)
                 self.state, metrics = self.step_fn(self.state, batch, rng)
                 step += 1
                 if step % 50 == 0:

@@ -54,3 +54,21 @@ def test_trainer_end_to_end(kitti_tmp, tmp_path):
     assert float(trainer2.state.min_depth_bin) == float(
         trainer.state.min_depth_bin
     )
+
+
+def test_trainer_fast_pipeline(kitti_tmp, tmp_path):
+    from ppeadepth_tpu.data import native_loader as NL
+
+    if not NL.available():
+        pytest.skip("native loader unavailable")
+    root, splits_dir = kitti_tmp
+    opt = Config(
+        adapter=True, rep_size="t", use_checkpoint=False,
+        height=64, width=96, batch_size=8, num_depth_bins=8, bin_chunk=4,
+        data_path=root, split="tiny", num_epochs=1, num_workers=2,
+        validate_every=0, log_dir=str(tmp_path / "ckpt2"), name="fast",
+        fast_pipeline=True,
+    )
+    trainer = Trainer(opt, splits_dir=splits_dir)
+    trainer.train()
+    assert int(trainer.state.step) == 1
