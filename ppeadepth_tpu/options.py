@@ -118,7 +118,7 @@ class Config:
     # tpu-native extras (not in the reference)
     compute_dtype: str = "bfloat16"  # bf16 compute / f32 params
     lk_backend: str = "lax"          # 'lax' | 'pallas'
-    bin_chunk: int = 16
+    bin_chunk: int = 8  # cost-volume bins per gather chunk (VMEM/HBM bound)
     fast_pipeline: bool = False      # native decode + device-side augment
 
     def replace(self, **kw) -> "Config":

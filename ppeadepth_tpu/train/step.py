@@ -115,7 +115,10 @@ def _branch_losses(inputs, outputs, opt: Config, noise_rng, is_multi: bool):
         reproj_min = jnp.where(m_p1, reproj[..., 0:1], reproj_min)
         reproj_min = jnp.where(m_m1 & m_p1, 0.0, reproj_min)
 
-    if not opt.disable_automasking:
+    if not opt.disable_automasking and not is_multi:
+        # the multi branch replaces the automask wholesale
+        # (trainer.py:1101-1104), so identity reprojection is only
+        # computed for the teacher branch
         identity = jnp.concatenate(
             [L.reprojection_loss(inputs[("color", f, 0)], target, opt.no_ssim)
              for f in opt.frame_ids[1:]],
