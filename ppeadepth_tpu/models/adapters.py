@@ -13,6 +13,8 @@ adapters are deliberately NOT zero-initialised, matching the reference
 
 from __future__ import annotations
 
+from typing import Optional
+
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -27,15 +29,16 @@ class ChannelAdapter(nn.Module):
     features: int
     mlp_ratio: float = 0.25
     zero_init: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
         hidden = int(self.features * self.mlp_ratio)
-        x = nn.Dense(hidden, name="D_fc1")(x)
+        x = nn.Dense(hidden, dtype=self.dtype, name="D_fc1")(x)
         x = nn.gelu(x, approximate=False)
         out_init = nn.initializers.zeros if self.zero_init else None
         kwargs = {"kernel_init": out_init} if out_init is not None else {}
-        x = nn.Dense(self.features, name="D_fc2", **kwargs)(x)
+        x = nn.Dense(self.features, dtype=self.dtype, name="D_fc2", **kwargs)(x)
         return x
 
 
@@ -51,24 +54,28 @@ class BAdapter(nn.Module):
     features: int
     adpt_test: int = 4
     mlp_ratio: float = 0.25
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
         hidden = int(self.features * self.mlp_ratio)
         zeros = nn.initializers.zeros
+        dt = self.dtype
         if self.adpt_test in (1, 2):
-            x = nn.Dense(hidden, name="D_fc1")(x)
+            x = nn.Dense(hidden, dtype=dt, name="D_fc1")(x)
             x = nn.gelu(x, approximate=False)
-            x = nn.Dense(self.features, name="D_fc2", kernel_init=zeros)(x)
+            x = nn.Dense(self.features, dtype=dt, name="D_fc2",
+                         kernel_init=zeros)(x)
         elif self.adpt_test == 4:
-            x = nn.Conv(hidden, (3, 3), padding=1, name="D_fc1")(x)
+            x = nn.Conv(hidden, (3, 3), padding=1, dtype=dt, name="D_fc1")(x)
             x = nn.gelu(x, approximate=False)
-            x = nn.Dense(self.features, name="D_fc2", kernel_init=zeros)(x)
+            x = nn.Dense(self.features, dtype=dt, name="D_fc2",
+                         kernel_init=zeros)(x)
         else:
-            x = nn.Conv(hidden, (3, 3), padding=1, name="D_fc1")(x)
+            x = nn.Conv(hidden, (3, 3), padding=1, dtype=dt, name="D_fc1")(x)
             x = nn.gelu(x, approximate=False)
             x = nn.Conv(
-                self.features, (3, 3), padding=1, name="D_fc2",
+                self.features, (3, 3), padding=1, dtype=dt, name="D_fc2",
                 kernel_init=zeros,
             )(x)
         return x

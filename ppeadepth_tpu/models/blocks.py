@@ -22,7 +22,8 @@ from ..kernels.lk_conv import depthwise_conv2d
 
 class DepthwiseConv(nn.Module):
     """Depthwise conv whose execution routes through kernels.lk_conv
-    (lax or pallas backend); owns the HWIO weight with I=1."""
+    (lax or pallas backend); owns the HWIO weight with I=1 (always f32;
+    compute follows the input dtype)."""
 
     features: int
     kernel_size: int
@@ -45,7 +46,8 @@ class DepthwiseConv(nn.Module):
 
 
 class ConvBN(nn.Module):
-    """conv(bias-free) + BN [+ ReLU]; depthwise when groups == features."""
+    """conv(bias-free) + BN [+ ReLU]; depthwise when groups == features.
+    `dtype` is the compute dtype (params stay f32; BN statistics f32)."""
 
     features: int
     kernel_size: int
@@ -53,9 +55,12 @@ class ConvBN(nn.Module):
     padding: Optional[int] = None
     groups: int = 1
     relu: bool = False
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         pad = self.kernel_size // 2 if self.padding is None else self.padding
         if self.groups == self.features and self.features == x.shape[-1]:
             # depthwise path (routes through the LK kernel backend)
@@ -72,12 +77,14 @@ class ConvBN(nn.Module):
                 padding=((pad, pad), (pad, pad)),
                 feature_group_count=self.groups,
                 use_bias=False,
+                dtype=self.dtype,
                 name="conv",
             )(x)
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,
             epsilon=1e-5,
+            dtype=self.dtype,
             name="bn",
         )(x)
         if self.relu:
@@ -89,12 +96,14 @@ class Conv3x3(nn.Module):
     """Reflection-padded 3x3 conv (layers.py:119-135)."""
 
     features: int
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
         x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
         return nn.Conv(
-            self.features, (3, 3), padding="VALID", name="conv"
+            self.features, (3, 3), padding="VALID", dtype=self.dtype,
+            name="conv"
         )(x)
 
 
@@ -102,10 +111,11 @@ class ConvBlock(nn.Module):
     """Conv3x3 + ELU (layers.py:103-116)."""
 
     features: int
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
-        return nn.elu(Conv3x3(self.features, name="conv")(x))
+        return nn.elu(Conv3x3(self.features, self.dtype, name="conv")(x))
 
 
 class DropPath(nn.Module):

@@ -57,6 +57,7 @@ class DepthDecoderV2(nn.Module):
     dc: bool = False
     dec_id: int = 1
     dec_ratio: float = 0.25
+    dtype: object = None
 
     def setup(self):
         ch = list(self.num_ch_enc)
@@ -66,13 +67,13 @@ class DepthDecoderV2(nn.Module):
         for i in range(3, -1, -1):
             ch_in = ch[i]
             ch_out = ch[i] // 2
-            up0.append(ConvBlock(ch_out))
-            up1.append(ConvBlock(ch_out))
-        up0.append(ConvBlock(base_ch))
-        up1.append(ConvBlock(base_ch))
+            up0.append(ConvBlock(ch_out, self.dtype))
+            up1.append(ConvBlock(ch_out, self.dtype))
+        up0.append(ConvBlock(base_ch, self.dtype))
+        up1.append(ConvBlock(base_ch, self.dtype))
         self.upconvs_0 = up0
         self.upconvs_1 = up1
-        self.disp_conv = Conv3x3(self.num_output_channels)
+        self.disp_conv = Conv3x3(self.num_output_channels)  # head in f32
 
         if self.dc:
             did = self.dec_id

@@ -45,6 +45,7 @@ class RepLKMatching(nn.Module):
     num_depth_bins: int = 96
     depth_binning: str = "log"
     bin_chunk: int = 16
+    dtype: object = None
 
     def setup(self):
         self.replk = RepLKNet(
@@ -58,11 +59,12 @@ class RepLKMatching(nn.Module):
             trans_adpt=self.trans_adpt,
             input_adpt=self.input_adpt,
             merged=self.merged,
+            dtype=self.dtype,
         )
         # Conv3x3(C0 + D -> C0) + ReLU; plain conv with bias, no BN
         # (replk_matching.py:90-94)
         c0 = self.replk.channels[0]
-        self.reduce_conv = nn.Conv(c0, (3, 3), padding=1)
+        self.reduce_conv = nn.Conv(c0, (3, 3), padding=1, dtype=self.dtype)
 
     @property
     def num_ch_enc(self) -> Sequence[int]:
@@ -123,8 +125,8 @@ class RepLKMatching(nn.Module):
             self.depth_binning,
         )
         cost, missing = CV.plane_sweep_cost_volume(
-            jax.lax.stop_gradient(cur),
-            lk,
+            jax.lax.stop_gradient(cur).astype(jnp.float32),
+            lk.astype(jnp.float32),
             jax.lax.stop_gradient(poses),
             K,
             invK,

@@ -50,6 +50,7 @@ class RepDepth(nn.Module):
     def setup(self):
         opt = self.opt
         adpt = opt.adpt_test if opt.adapter else -1
+        dtype = jnp.bfloat16 if opt.compute_dtype == "bfloat16" else None
         self.encoder = RepLKMatching(
             rep_size=opt.rep_size,
             use_checkpoint=opt.use_checkpoint,
@@ -62,10 +63,11 @@ class RepDepth(nn.Module):
             num_depth_bins=opt.num_depth_bins,
             depth_binning=opt.depth_binning,
             bin_chunk=opt.bin_chunk,
+            dtype=dtype,
         )
         self.depth = DepthDecoderV2(
             opt.num_ch_enc, dc=opt.dc, dec_id=opt.dec_id,
-            dec_ratio=opt.dec_ratio,
+            dec_ratio=opt.dec_ratio, dtype=dtype,
         )
         from .replknet import RepLKNet
 
@@ -79,10 +81,11 @@ class RepDepth(nn.Module):
             ratio=opt.ratio,
             trans_adpt=opt.mono_trans,
             input_adpt=opt.mono_input,
+            dtype=dtype,
         )
         self.mono_depth = DepthDecoderV2(
             opt.num_ch_enc, dc=opt.dc, dec_id=opt.dec_id,
-            dec_ratio=opt.dec_ratio,
+            dec_ratio=opt.dec_ratio, dtype=dtype,
         )
         self.pose_encoder = ResnetEncoder(
             num_layers=18, num_input_images=2

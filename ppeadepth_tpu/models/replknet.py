@@ -78,9 +78,12 @@ class ReparamLKConv(nn.Module):
     small_kernel: Optional[int]
     stride: int = 1
     merged: bool = False
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         if self.merged:
             return DepthwiseConv(
                 self.features, self.kernel_size, self.stride,
@@ -88,12 +91,12 @@ class ReparamLKConv(nn.Module):
             )(x)
         out = ConvBN(
             self.features, self.kernel_size, self.stride,
-            groups=self.features, name="lkb_origin",
+            groups=self.features, dtype=self.dtype, name="lkb_origin",
         )(x, train)
         if self.small_kernel is not None:
             out = out + ConvBN(
                 self.features, self.small_kernel, self.stride,
-                groups=self.features, name="small_conv",
+                groups=self.features, dtype=self.dtype, name="small_conv",
             )(x, train)
         return out
 
@@ -108,25 +111,29 @@ class RepLKBlock(nn.Module):
     g_blk: float = 1.0
     ratio: float = 0.25
     merged: bool = False
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         out = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            name="prelkb_bn",
+            dtype=self.dtype, name="prelkb_bn",
         )(x)
         adpt = None
         if self.adpt_test >= 0:
             adpt = BAdapter(
-                self.channels, self.adpt_test, self.ratio, name="adapter"
+                self.channels, self.adpt_test, self.ratio,
+                dtype=self.dtype, name="adapter"
             )(out)
-        out = ConvBN(self.dw_channels, 1, relu=True, name="pw1")(out, train)
+        out = ConvBN(self.dw_channels, 1, relu=True, dtype=self.dtype,
+                     name="pw1")(out, train)
         out = ReparamLKConv(
             self.dw_channels, self.lk_size, self.small_kernel,
-            merged=self.merged, name="large_kernel",
+            merged=self.merged, dtype=self.dtype, name="large_kernel",
         )(out, train)
         out = nn.relu(out)
-        out = ConvBN(self.channels, 1, name="pw2")(out, train)
+        out = ConvBN(self.channels, 1, dtype=self.dtype,
+                     name="pw2")(out, train)
         res = x + DropPath(self.drop_path, name="drop_path")(out, not train)
         if adpt is not None:
             res = res + self.g_blk * adpt
@@ -139,12 +146,13 @@ class ConvFFN(nn.Module):
     drop_path: float
     adpt_test: int = -1
     g_ffn: float = 1.0
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         out = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            name="preffn_bn",
+            dtype=self.dtype, name="preffn_bn",
         )(x)
         adpt = None
         if self.adpt_test >= 0:
@@ -152,11 +160,14 @@ class ConvFFN(nn.Module):
             # replknet_adapter.py:273-276
             mlp_ratio = 0.5 if self.adpt_test == 2 else 0.25
             adpt = ChannelAdapter(
-                self.channels, mlp_ratio, name="mlp_adapter"
+                self.channels, mlp_ratio, dtype=self.dtype,
+                name="mlp_adapter"
             )(out)
-        out = ConvBN(self.internal_channels, 1, name="pw1")(out, train)
+        out = ConvBN(self.internal_channels, 1, dtype=self.dtype,
+                     name="pw1")(out, train)
         out = nn.gelu(out, approximate=False)
-        out = ConvBN(self.channels, 1, name="pw2")(out, train)
+        out = ConvBN(self.channels, 1, dtype=self.dtype,
+                     name="pw2")(out, train)
         res = x + DropPath(self.drop_path, name="drop_path")(out, not train)
         if adpt is not None:
             res = res + self.g_ffn * adpt
@@ -188,6 +199,7 @@ class RepLKNetStage(nn.Module):
     use_checkpoint: bool = False
     norm_intermediate: bool = False
     merged: bool = False
+    dtype: Optional[object] = None
 
     def setup(self):
         adpt_r, adpt_c = _route_adpt(self.adpt_test)
@@ -210,6 +222,7 @@ class RepLKNetStage(nn.Module):
                     g_blk=self.g_blk,
                     ratio=self.ratio,
                     merged=self.merged,
+                    dtype=self.dtype,
                 )
             )
             blocks.append(
@@ -219,6 +232,7 @@ class RepLKNetStage(nn.Module):
                     dp,
                     adpt_test=adpt_c,
                     g_ffn=self.g_ffn,
+                    dtype=self.dtype,
                 )
             )
         self.blocks = blocks
@@ -241,13 +255,15 @@ class Transition(nn.Module):
     (replknet.py:250-254)."""
 
     features: int
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = ConvBN(self.features, 1, relu=True, name="expand")(x, train)
+        x = ConvBN(self.features, 1, relu=True, dtype=self.dtype,
+                   name="expand")(x, train)
         x = ConvBN(
             self.features, 3, stride=2, groups=self.features, relu=True,
-            name="down",
+            dtype=self.dtype, name="down",
         )(x, train)
         return x
 
@@ -271,6 +287,7 @@ class RepLKNet(nn.Module):
     ratio: float = 0.25
     trans_adpt: bool = False
     input_adpt: bool = False
+    dtype: Optional[object] = None
 
     @property
     def config(self):
@@ -286,10 +303,11 @@ class RepLKNet(nn.Module):
         layers = cfg["layers"]
         base = channels[0]
         self.stem = [
-            ConvBN(base, 3, stride=2, relu=True),
-            ConvBN(base, 3, groups=base, relu=True),
-            ConvBN(base, 1, relu=True),
-            ConvBN(base, 3, stride=2, groups=base, relu=True),
+            ConvBN(base, 3, stride=2, relu=True, dtype=self.dtype),
+            ConvBN(base, 3, groups=base, relu=True, dtype=self.dtype),
+            ConvBN(base, 1, relu=True, dtype=self.dtype),
+            ConvBN(base, 3, stride=2, groups=base, relu=True,
+                   dtype=self.dtype),
         ]
         # Swin-style linear drop-path over block pairs (replknet.py:239)
         dpr = np.linspace(0.0, self.drop_path_rate, sum(layers)).tolist()
@@ -315,10 +333,11 @@ class RepLKNet(nn.Module):
                     use_checkpoint=self.use_checkpoint,
                     norm_intermediate=self.norm_intermediate,
                     merged=self.merged,
+                    dtype=self.dtype,
                 )
             )
             if i < 3:
-                transitions.append(Transition(channels[i + 1]))
+                transitions.append(Transition(channels[i + 1], self.dtype))
                 if self.trans_adpt:
                     trans_adapters.append(
                         ChannelAdapter(channels[i + 1], zero_init=False)

@@ -116,7 +116,7 @@ class Config:
     debug: bool = False
 
     # tpu-native extras (not in the reference)
-    compute_dtype: str = "bfloat16"  # bf16 compute / f32 params
+    compute_dtype: str = "float32"  # set "bfloat16" for bf16 compute / f32 params
     lk_backend: str = "lax"          # 'lax' | 'pallas'
     bin_chunk: int = 8  # cost-volume bins per gather chunk (VMEM/HBM bound)
     fast_pipeline: bool = False      # native decode + device-side augment

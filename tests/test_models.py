@@ -184,3 +184,33 @@ def test_matching_encoder_shapes():
         (1, 16, 24, 16), (1, 8, 12, 32), (1, 4, 6, 64), (1, 2, 3, 128),
     ]
     assert lc.shape == (1, 16, 24) and conf.shape == (1, 16, 24)
+
+
+def test_bf16_compute_dtype():
+    """bf16 compute policy: finite outputs close to the f32 model, params
+    still f32, cost volume in f32."""
+    import jax.numpy as jnp
+    from ppeadepth_tpu.options import Config
+    from ppeadepth_tpu.models.repdepth import RepDepth
+    from tests.test_train_step import make_batch
+
+    base = dict(adapter=True, rep_size="t", use_checkpoint=False,
+                height=64, width=96, num_depth_bins=8, bin_chunk=4)
+    batch = make_batch(Config(**base), 2)
+    rngs = {"params": jax.random.PRNGKey(0),
+            "droppath": jax.random.PRNGKey(1),
+            "aug": jax.random.PRNGKey(2)}
+
+    m32 = RepDepth(Config(**base, compute_dtype="float32"))
+    v = m32.init(rngs, batch, 0.1, 10.0, False)
+    mono32, out32 = m32.apply(v, batch, 0.1, 10.0, False)
+
+    m16 = RepDepth(Config(**base, compute_dtype="bfloat16"))
+    mono16, out16 = m16.apply(v, batch, 0.1, 10.0, False)
+
+    assert all(a.dtype == jnp.float32
+               for a in jax.tree_util.tree_leaves(v["params"]))
+    d32 = np.asarray(mono32[("disp", 0)])
+    d16 = np.asarray(mono16[("disp", 0)], dtype=np.float32)
+    assert np.isfinite(d16).all()
+    assert np.mean(np.abs(d32 - d16)) < 0.02
