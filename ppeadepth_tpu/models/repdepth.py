@@ -64,6 +64,7 @@ class RepDepth(nn.Module):
             depth_binning=opt.depth_binning,
             bin_chunk=opt.bin_chunk,
             dtype=dtype,
+            merged=opt.merged,
         )
         self.depth = DepthDecoderV2(
             opt.num_ch_enc, dc=opt.dc, dec_id=opt.dec_id,
@@ -82,6 +83,7 @@ class RepDepth(nn.Module):
             trans_adpt=opt.mono_trans,
             input_adpt=opt.mono_input,
             dtype=dtype,
+            merged=opt.merged,
         )
         self.mono_depth = DepthDecoderV2(
             opt.num_ch_enc, dc=opt.dc, dec_id=opt.dec_id,

@@ -120,6 +120,7 @@ class Config:
     lk_backend: str = "lax"          # 'lax' | 'pallas'
     bin_chunk: int = 8  # cost-volume bins per gather chunk (VMEM/HBM bound)
     fast_pipeline: bool = False      # native decode + device-side augment
+    merged: bool = False             # deploy: reparam-merged LK convs
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)
