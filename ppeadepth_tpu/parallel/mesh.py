@@ -39,8 +39,19 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place a host batch dict on the mesh, sharded over the batch axis."""
+    """Place a host batch pytree on the mesh, sharded over the batch axis.
+
+    Multi-host: each process feeds its local shard of the global batch
+    (jax.make_array_from_process_local_data assembles the global view).
+    """
     s = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                s, np.asarray(x)
+            ),
+            batch,
+        )
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
 
 

@@ -224,6 +224,9 @@ class Trainer:
                     batch = prepare(frames, K, rng_aug)
                 self.state, metrics = self.step_fn(self.state, batch, rng)
                 step += 1
+                if step == 250 and opt.validate_every > 0:
+                    # early validation snapshot (trainer.py:366-381)
+                    self.validate(step)
                 if step % 50 == 0:
                     metrics = jax.device_get(metrics)
                     dt = time.perf_counter() - t_last

@@ -137,3 +137,30 @@ def test_dp_equivalence():
         float(m_single["depth_bins/max"]), float(m_dp["depth_bins/max"]),
         rtol=1e-5,
     )
+
+
+def test_blank_frame_zero_pose():
+    """Missing-frame protocol: a blank lookup frame must produce a zero
+    relative pose (repdepth.py:502-506) so the cost volume skips it."""
+    from ppeadepth_tpu.models import RepDepth
+
+    opt = TINY
+    model = RepDepth(opt)
+    batch = make_batch(opt, 2)
+    # blank out frame -1 of sample 1 (color_aug drives pose + blanks)
+    for s in (0,):
+        batch[("color_aug", -1, s)] = (
+            batch[("color_aug", -1, s)].at[1].set(0.0)
+        )
+    variables = RepDepth(opt).init(
+        {"params": jax.random.PRNGKey(0), "droppath": jax.random.PRNGKey(1),
+         "aug": jax.random.PRNGKey(2)},
+        batch, 0.1, 10.0, False,
+    )
+    poses = model.apply(
+        variables, batch, False, False,
+        method=lambda m, b, train, sg: m.predict_poses(b, train, sg),
+    )
+    rel = np.asarray(poses[("relative_pose", -1)])
+    assert np.abs(rel[1]).sum() == 0.0  # blank frame -> zero pose
+    assert np.abs(rel[0]).sum() > 0.0
