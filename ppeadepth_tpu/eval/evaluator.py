@@ -106,19 +106,48 @@ def run_eval(
     splits_dir: str = "./splits",
     min_val: float = MIN_VAL,
     max_val: float = MAX_VAL,
+    mesh=None,
 ):
-    """Full evaluation: returns (mean_errors, mono_mean_errors|None)."""
+    """Full evaluation: returns (mean_errors, mono_mean_errors|None).
+
+    With a `mesh`, every eval batch is dp-sharded across the devices
+    (the reference evaluates on rank 0 while other ranks idle at a
+    barrier, trainer.py:384-407); partial final batches are padded to the
+    device count and the padding rows dropped after the device pass.
+    """
     step = make_eval_step(model, opt, with_teacher)
+    if mesh is not None:
+        from ..parallel.mesh import replicate, shard_batch
+
+        variables = replicate(variables, mesh)
+        n_dev = mesh.devices.size
     disps, mono_disps = [], []
     for batch in val_loader:
         batch = {k: jnp.asarray(v) for k, v in batch.items()
-                 if isinstance(v, np.ndarray)}
+                 if isinstance(v, np.ndarray) or hasattr(v, "shape")}
+        pad = 0
+        if mesh is not None:
+            bsz = batch[("color", 0, 0)].shape[0]
+            pad = (-bsz) % n_dev
+            if pad:
+                batch = {
+                    k: jnp.concatenate(
+                        [v, jnp.repeat(v[-1:], pad, axis=0)], 0
+                    )
+                    for k, v in batch.items()
+                }
+            batch = shard_batch(batch, mesh)
         d, md = step(variables, batch,
                      jnp.asarray(min_bin, jnp.float32),
                      jnp.asarray(max_bin, jnp.float32))
-        disps.append(np.asarray(d))
+        d = np.asarray(d)
+        md = None if md is None else np.asarray(md)
+        if pad:
+            d = d[:-pad]
+            md = None if md is None else md[:-pad]
+        disps.append(d)
         if md is not None:
-            mono_disps.append(np.asarray(md))
+            mono_disps.append(md)
     pred_disps = np.concatenate(disps, 0)
     if gt_depths is None:
         gt_depths = load_gt_depths(opt, pred_disps.shape[0], splits_dir)

@@ -252,6 +252,7 @@ class Trainer:
             max_bin=self.state.max_depth_bin,
             with_teacher=not self.opt.freeze_teacher_and_pose,
             splits_dir=self.splits_dir,
+            mesh=self.mesh,
         )
         print(f"[val @ {step}]\n" + M.format_metrics(errors))
         self.log_metrics(
