@@ -27,7 +27,7 @@ def seed_all(seed):
 
 
 def main(argv=None):
-    from .options import parse_args
+    from ..options import parse_args
 
     opt = parse_args(argv)
     seed_all(opt.pytorch_random_seed)
@@ -38,17 +38,17 @@ def main(argv=None):
         jax.distributed.initialize()
 
     if opt.lk_backend != "lax":
-        from .kernels import lk_conv
+        from ..kernels import lk_conv
 
         lk_conv.set_backend(opt.lk_backend)
 
     if opt.eval:
-        from .evaluate_depth import evaluate
+        from ..evaluate_depth import evaluate
 
         evaluate(opt)
         return
 
-    from .train.trainer import Trainer
+    from .trainer import Trainer
 
     Trainer(opt).train()
 
