@@ -164,3 +164,38 @@ def test_blank_frame_zero_pose():
     rel = np.asarray(poses[("relative_pose", -1)])
     assert np.abs(rel[1]).sum() == 0.0  # blank frame -> zero pose
     assert np.abs(rel[0]).sum() > 0.0
+
+
+def test_chained_matching_poses_multi_frame():
+    """num_matching_frames=2: pose 0->-2 is chained through -1
+    (repdepth.py:472-500); use_future_frame adds +1."""
+    from ppeadepth_tpu.models import RepDepth
+    from ppeadepth_tpu.core.geometry import transformation_from_parameters
+
+    opt = TINY.replace(num_matching_frames=2, use_future_frame=True)
+    assert opt.matching_ids == (0, 1, -1, -2)
+    batch = make_batch(opt, 2)
+    rng = np.random.RandomState(3)
+    for f in (-2,):
+        img = rng.rand(2, opt.height, opt.width, 3).astype(np.float32)
+        batch[("color", f, 0)] = jnp.asarray(img)
+        batch[("color_aug", f, 0)] = jnp.asarray(img)
+    model = RepDepth(opt)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "droppath": jax.random.PRNGKey(1),
+         "aug": jax.random.PRNGKey(2)},
+        batch, 0.1, 10.0, False,
+    )
+    poses = model.apply(
+        variables, batch, False, False,
+        method=lambda m, b, train, sg: m.predict_poses(b, train, sg),
+    )
+    for fi in (1, -1, -2):
+        assert ("relative_pose", fi) in poses
+        T = np.asarray(poses[("relative_pose", fi)])
+        assert T.shape == (2, 4, 4)
+        np.testing.assert_allclose(T[:, 3], [[0, 0, 0, 1]] * 2, atol=1e-5)
+    # chain check: T(0->-2) should differ from T(0->-1) (extra hop applied)
+    assert not np.allclose(
+        poses[("relative_pose", -2)], poses[("relative_pose", -1)]
+    )
