@@ -65,6 +65,17 @@ def make_eval_step(model: RepDepth, opt: Config, with_teacher: bool):
         pred_disp, _ = disp_to_depth(out[("disp", 0)], MIN_VAL, MAX_VAL)
         pred_disp = pred_disp[..., 0]
 
+        if opt.post_process:
+            # Monodepth-v1 flip post-processing: evaluate the horizontal
+            # flip too; blended on the host (metrics.py)
+            out_f, _, _ = model.apply(
+                variables, frames[0][:, :, ::-1], lookup[:, :, :, ::-1],
+                rel_poses, batch[("K", 2)], batch[("inv_K", 2)],
+                min_bin, max_bin, False, method=RepDepth.forward_multi,
+            )
+            disp_f, _ = disp_to_depth(out_f[("disp", 0)], MIN_VAL, MAX_VAL)
+            pred_disp = jnp.stack([pred_disp, disp_f[..., 0][:, :, ::-1]], 1)
+
         mono_disp = None
         if with_teacher:
             mono_out = model.apply(
@@ -149,6 +160,10 @@ def run_eval(
         if md is not None:
             mono_disps.append(md)
     pred_disps = np.concatenate(disps, 0)
+    if opt.post_process:
+        pred_disps = metrics.batch_post_process_disparity(
+            pred_disps[:, 0], pred_disps[:, 1]
+        )
     if gt_depths is None:
         gt_depths = load_gt_depths(opt, pred_disps.shape[0], splits_dir)
 

@@ -112,3 +112,17 @@ def format_metrics(mean_errors) -> str:
     head = "  ".join(f"{n:>10}" for n in METRIC_NAMES)
     vals = "  ".join(f"{v:10.3f}" for v in mean_errors)
     return head + "\n" + vals
+
+
+def batch_post_process_disparity(l_disp: np.ndarray, r_disp: np.ndarray):
+    """Monodepth-v1 flip post-processing (evaluate_depth.py:56-64):
+    blend the disparity of the image and of its horizontal flip with
+    edge-favouring masks. l_disp/r_disp: [N, h, w] (r_disp already
+    un-flipped)."""
+    _, h, w = l_disp.shape
+    m_disp = 0.5 * (l_disp + r_disp)
+    lgrid, _ = np.meshgrid(np.linspace(0, 1, w), np.linspace(0, 1, h))
+    l_mask = (1.0 - np.clip(20 * (lgrid - 0.05), 0, 1))[None, ...]
+    r_mask = l_mask[:, :, ::-1]
+    return (r_mask * l_disp + l_mask * r_disp
+            + (1.0 - l_mask - r_mask) * m_disp)

@@ -104,6 +104,7 @@ class Config:
     zero_cost_volume: bool = False
     static_camera: bool = False
     disable_median_scaling: bool = False
+    post_process: bool = False  # Monodepth-v1 flip TTA at eval
     pred_depth_scale_factor: float = 1.0
     load_weights_folder: Optional[str] = None
     ddad: bool = False

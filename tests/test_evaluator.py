@@ -79,3 +79,34 @@ def test_run_eval_sharded_over_mesh(rng):
         model, variables, opt, val_batches(), gt_depths=gt, mesh=mesh,
     )
     assert errors.shape == (7,) and np.isfinite(errors).all()
+
+
+def test_run_eval_post_process(rng):
+    """Flip TTA path: same shapes, finite metrics."""
+    opt = Config(adapter=True, rep_size="t", use_checkpoint=False,
+                 height=64, width=96, num_depth_bins=8, bin_chunk=4,
+                 eval_split="eigen", post_process=True)
+    model = RepDepth(opt)
+    from tests.test_train_step import make_batch
+
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "droppath": jax.random.PRNGKey(1),
+         "aug": jax.random.PRNGKey(2)},
+        make_batch(opt, 2), 0.1, 10.0, False,
+    )
+
+    def val_batches():
+        b = {}
+        b[("color", 0, 0)] = rng.rand(2, 64, 96, 3).astype(np.float32)
+        b[("color", -1, 0)] = rng.rand(2, 64, 96, 3).astype(np.float32)
+        K = np.eye(4, dtype=np.float32)
+        K[0, 0], K[1, 1], K[0, 2], K[1, 2] = 14.0, 30.0, 12.0, 8.0
+        b[("K", 2)] = np.stack([K] * 2)
+        b[("inv_K", 2)] = np.stack([np.linalg.pinv(K)] * 2)
+        yield b
+
+    gt = [rng.rand(128, 192).astype(np.float32) * 40 + 2 for _ in range(2)]
+    errors, _ = evaluator.run_eval(
+        model, variables, opt, val_batches(), gt_depths=gt,
+    )
+    assert errors.shape == (7,) and np.isfinite(errors).all()
