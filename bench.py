@@ -100,6 +100,15 @@ def main():
             x[:1], method=RepDepth.forward_mono,
         )
     )()
+    if os.environ.get("PPEA_BENCH_MERGED", "1") != "0":
+        # deploy form: BN-fold + small-kernel merge (structural_reparam)
+        from ppeadepth_tpu.ckpt.deploy import structural_reparam
+
+        mp, ms = structural_reparam(
+            variables["params"], variables["batch_stats"]
+        )
+        variables = {"params": mp, "batch_stats": ms}
+        model = RepDepth(opt.replace(merged=True))
     variables = jax.tree_util.tree_map(
         lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, variables
     )
