@@ -32,9 +32,16 @@ def main(argv=None):
     opt = parse_args(argv)
     seed_all(opt.pytorch_random_seed)
 
-    if os.environ.get("PPEA_DISTRIBUTED"):
-        import jax
+    import jax
 
+    # persistent compile cache: full-model train steps take ~6 min to
+    # compile cold on tunneled TPU backends, <5 s cached
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    if os.environ.get("PPEA_DISTRIBUTED"):
         jax.distributed.initialize()
 
     if opt.lk_backend != "lax":
