@@ -25,7 +25,7 @@ hue shift operates in a vectorised HSV approximation rather than PIL's
 
 from __future__ import annotations
 
-from typing import Dict, Sequence
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ from __future__ import annotations
 import concurrent.futures as cf
 import queue
 import threading
-from typing import Dict, Iterator, Optional
+from typing import Dict, Iterator
 
 import numpy as np
 

@@ -12,7 +12,6 @@ published AbsRel depends on cv2.resize exactness.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import numpy as np
 

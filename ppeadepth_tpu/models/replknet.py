@@ -29,7 +29,6 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 import flax.linen as nn
-import jax.numpy as jnp
 import numpy as np
 
 from .adapters import BAdapter, ChannelAdapter, InputAdapter

@@ -23,7 +23,6 @@ trainer.py:350) automatically.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict
 
 import jax
