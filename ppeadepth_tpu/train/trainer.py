@@ -212,7 +212,8 @@ class Trainer:
                     fr, k, r, opt.height, opt.width, 4
                 )
             )
-        for epoch in range(opt.num_epochs):
+        start_epoch = step // max(self.steps_per_epoch, 1)
+        for epoch in range(start_epoch, opt.num_epochs):
             self.train_loader.set_epoch(epoch)
             it = D.device_prefetch(iter(self.train_loader), self.mesh)
             for batch in it:
