@@ -41,6 +41,10 @@ def resize_nearest(x, height, width):
         fh, fw = height // H, width // W
         x = jnp.broadcast_to(x[:, :, None, :, None, :], (B, H, fh, W, fw, C))
         return x.reshape(B, height, width, C)
+    if H % height == 0 and W % width == 0:
+        # integer downscale: torch nearest picks floor(i * in/out), i.e.
+        # the first element of each block
+        return x[:, :: H // height, :: W // width, :]
     return jax.image.resize(x, (B, height, width, C), method="nearest")
 
 
