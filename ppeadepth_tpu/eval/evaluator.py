@@ -100,6 +100,12 @@ def load_gt_depths(opt: Config, num: Optional[int] = None, splits_dir="./splits"
             for i in range(n)
         ]
     gt_path = os.path.join(splits_dir, opt.eval_split, "gt_depths.npz")
+    if not os.path.exists(gt_path):
+        raise FileNotFoundError(
+            f"{gt_path} not found — export it first with "
+            f"`python -m ppeadepth_tpu.export_gt_depth --data_path <kitti> "
+            f"--split {opt.eval_split}`"
+        )
     return np.load(
         gt_path, fix_imports=True, encoding="latin1", allow_pickle=True
     )["data"]
