@@ -45,6 +45,7 @@ class RepLKMatching(nn.Module):
     num_depth_bins: int = 96
     depth_binning: str = "log"
     bin_chunk: int = 16
+    cv_backend: str = "auto"  # plane-sweep backend (ops/cost_volume.py)
     dtype: object = None
 
     def setup(self):
@@ -133,6 +134,7 @@ class RepLKMatching(nn.Module):
             bins,
             bin_chunk=self.bin_chunk,
             cv_min=dyn and cv_min,
+            backend=CV.resolve_cv_backend(self.cv_backend),
         )  # [B, D, h, w]
         if dyn and (cv_set_1 or cv_pool):
             if aug_mask is None:

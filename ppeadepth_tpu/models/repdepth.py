@@ -63,6 +63,7 @@ class RepDepth(nn.Module):
             num_depth_bins=opt.num_depth_bins,
             depth_binning=opt.depth_binning,
             bin_chunk=opt.bin_chunk,
+            cv_backend=getattr(opt, "cv_backend", "auto"),
             dtype=dtype,
             merged=opt.merged,
         )

@@ -155,8 +155,16 @@ def _frame_diffs(cur_flat, lk_img, A, t, bins, H, W, bin_chunk, eps=1e-7):
     return diffs.reshape(D, H, W)
 
 
+def resolve_cv_backend(backend):
+    """'auto' -> 'mxu' on TPU (the pallas MXU kernel), 'lax' elsewhere."""
+    if backend == "auto":
+        return "mxu" if jax.default_backend() == "tpu" else "lax"
+    return backend
+
+
 @functools.partial(
-    jax.jit, static_argnames=("bin_chunk", "set_missing_to_max", "cv_min")
+    jax.jit,
+    static_argnames=("bin_chunk", "set_missing_to_max", "cv_min", "backend"),
 )
 def plane_sweep_cost_volume(
     current_feats,
@@ -168,6 +176,7 @@ def plane_sweep_cost_volume(
     bin_chunk=16,
     set_missing_to_max=True,
     cv_min=False,
+    backend="lax",
 ):
     """Cost volume over hypothesized depth planes.
 
@@ -178,6 +187,15 @@ def plane_sweep_cost_volume(
     depth_bins:    [D]            depth hypotheses (ascending)
     cv_min:        min-over-frames instead of average (DynamicDepth-style
                    `--cv_min`, replk_matching_adapter.py:163-258)
+    backend:       'lax' (XLA patch-gather sampler), 'mxu' (gather-free
+                   pallas kernel, kernels/cost_volume_mxu.py — ~5.6x faster
+                   on v5e; bf16 MXU operands, ~0.3% relative cost error on
+                   this no-grad heuristic input — well inside the training
+                   distribution: matching augmentation intentionally feeds
+                   the student degenerate cost volumes 25% of the time,
+                   repdepth.py:559-577), or 'mxu_f32' (same kernel, exact
+                   f32 operands, ~1.9x). resolve_cv_backend('auto') picks
+                   per platform.
 
     Returns (cost_volume [B, D, H, W], missing_mask [B, D, H, W]).
     """
@@ -199,11 +217,24 @@ def plane_sweep_cost_volume(
         A = jnp.matmul(P[:, :, :3], invK[:, :3, :3], precision=_HI)  # [B, 3, 3]
         t = P[:, :, 3]  # [B, 3]
         lk_img = lookup_feats[:, f]
-        diffs = jax.vmap(
-            lambda cf, lf, a, tt: _frame_diffs(
-                cf, lf, a, tt, depth_bins, H, W, bin_chunk
+        if backend in ("mxu", "mxu_f32"):
+            from ..kernels.cost_volume_mxu import frame_diffs_batch
+
+            kw = (
+                dict(precision="highest", compute_dtype="float32",
+                     rows_per_tile=2)
+                if backend == "mxu_f32" else {}
             )
-        )(cur_flat, lk_img, A, t)  # [B, D, H, W]
+            diffs = frame_diffs_batch(
+                cur_flat, lk_img, A, t, depth_bins,
+                interpret=jax.default_backend() != "tpu", **kw,
+            )  # [B, D, H, W]
+        else:
+            diffs = jax.vmap(
+                lambda cf, lf, a, tt: _frame_diffs(
+                    cf, lf, a, tt, depth_bins, H, W, bin_chunk
+                )
+            )(cur_flat, lk_img, A, t)  # [B, D, H, W]
         # skip frames whose pose is all-zero (missing frame / augmentation)
         valid = (jnp.sum(jnp.abs(T), axis=(1, 2)) > 0).astype(jnp.float32)
         diffs = diffs * valid[:, None, None, None]

@@ -120,6 +120,7 @@ class Config:
     compute_dtype: str = "float32"  # set "bfloat16" for bf16 compute / f32 params
     lk_backend: str = "lax"          # 'lax' | 'pallas'
     bin_chunk: int = 8  # cost-volume bins per gather chunk (VMEM/HBM bound)
+    cv_backend: str = "auto"  # plane-sweep: auto | lax | mxu | mxu_f32
     fast_pipeline: bool = False      # native decode + device-side augment
     merged: bool = False             # deploy: reparam-merged LK convs
 
