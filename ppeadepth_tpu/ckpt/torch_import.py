@@ -39,7 +39,12 @@ def _to_torch_name(path: Tuple[str, ...]) -> str:
                          r"up_adapters|trans_adapters|trans_drop_paths)_(\d+)",
                          p)
         if m:
-            parts.append(f"{m.group(1)}.{m.group(2)}")
+            name = m.group(1)
+            if name == "up_adapters":
+                # dec_id-10 decoder adapters: `self.adapters` ModuleList
+                # (depth_decoder_v2.py:156-159)
+                name = "adapters"
+            parts.append(f"{name}.{m.group(2)}")
         elif p == "expand":  # Transition part 0 (1x1 conv-bn-relu)
             parts.append("0")
         elif p == "down":  # Transition part 1 (dw 3x3 s2)
