@@ -1,8 +1,8 @@
 """DDAD evaluation: `python -m ppeadepth_tpu.evaluate_ddad
 --load_weights_folder <ckpt> --data_path <ddad_npz_root>`
-(evaluate_ddad.py equivalent: 384x640 inputs forced to 320x480 eval in
-the reference :251-255 — here we keep the model's training resolution —
-depth clamp 200 m, per-sample GT npys)."""
+(evaluate_ddad.py equivalent: inputs forced to 320x480 at eval like the
+reference :251-255 — pass --eval_native_res to keep the model's training
+resolution instead — depth clamp 200 m, per-sample GT npys)."""
 
 from __future__ import annotations
 
@@ -13,6 +13,16 @@ import jax
 import numpy as np
 
 
+def eval_config(opt):
+    """DDAD presets + the reference's hard-forced 320x480 eval resolution
+    (evaluate_ddad.py:251-255); --eval_native_res keeps the training
+    resolution (a documented deviation for measuring at deploy shape)."""
+    opt = opt.replace(ddad=True).with_mode_presets()
+    if not opt.eval_native_res:
+        opt = opt.replace(height=320, width=480)
+    return opt
+
+
 def evaluate(opt):
     from . import data as D
     from .ckpt import io as ckpt_io
@@ -21,7 +31,7 @@ def evaluate(opt):
     from .models import RepDepth
     from .train.trainer import readlines, synthetic_batch
 
-    opt = opt.replace(ddad=True).with_mode_presets()
+    opt = eval_config(opt)
     model = RepDepth(opt)
     variables = jax.jit(
         lambda: model.init(

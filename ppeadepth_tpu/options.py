@@ -105,6 +105,9 @@ class Config:
     static_camera: bool = False
     disable_median_scaling: bool = False
     post_process: bool = False  # Monodepth-v1 flip TTA at eval
+    # DDAD eval runs at the reference's forced 320x480
+    # (evaluate_ddad.py:251-255) unless this keeps the training resolution
+    eval_native_res: bool = False
     pred_depth_scale_factor: float = 1.0
     load_weights_folder: Optional[str] = None
     ddad: bool = False
