@@ -35,7 +35,8 @@ def _to_torch_name(path: Tuple[str, ...]) -> str:
     for p in path:
         # list-attribute naming: stem_0 -> stem.0, stages_2 -> stages.2 ...
         m = re.fullmatch(r"(stem|stages|blocks|transitions|upconvs_0|"
-                         r"upconvs_1|layer1|layer2|layer3|layer4|"
+                         r"upconvs_1|upconv_0|upconv_1|dispconvs|"
+                         r"layer1|layer2|layer3|layer4|"
                          r"up_adapters|trans_adapters|trans_drop_paths)_(\d+)",
                          p)
         if m:
@@ -186,6 +187,44 @@ def export_state_dict(params: Dict, batch_stats: Dict) -> Dict:
                 elif a.ndim == 2:
                     a = a.T
             out[full] = a
+    return out
+
+
+def translate_legacy_state_dict(sd: Dict, kind: str) -> Dict:
+    """Rename a ManyDepth-style legacy checkpoint (the separate-file
+    format consumed by eval_depth_ori.py:119-190) into our naming scheme
+    so `map_state_dict` can ingest it.
+
+    kind='encoder' (ResnetEncoderMatching, resnet_encoder.py:75-364):
+      layer0.{0,1} = Sequential(conv1, bn1) -> conv1 / bn1
+      layer1.1.{i} = Sequential(maxpool, layer1)[1] -> layer1.{i}
+      reduce_conv.0 stays (matches the `reduce_conv -> reduce_conv.0`
+        rule in _to_torch_name)
+      prematching_conv.* dropped (dead: never called in forward)
+    kind='decoder' (Monodepth2 DepthDecoder, depth_decoder.py:15-63;
+    module list order: (upconv i 0/1) for i=4..0 then dispconv 0..3):
+      decoder.{2k}   -> upconv_0.{4-k}
+      decoder.{2k+1} -> upconv_1.{4-k}
+      decoder.{10+s} -> dispconvs.{s}
+    kind='pose_encoder'/'pose': already in our scheme (encoder.* / net.*).
+    """
+    out = {}
+    for name, v in sd.items():
+        if kind == "encoder":
+            if name.startswith("prematching_conv"):
+                continue
+            name = re.sub(r"^layer0\.0\.", "conv1.", name)
+            name = re.sub(r"^layer0\.1\.", "bn1.", name)
+            name = re.sub(r"^layer1\.1\.(\d+)\.", r"layer1.\1.", name)
+        elif kind == "decoder":
+            m = re.match(r"^decoder\.(\d+)\.(.*)$", name)
+            if m:
+                n, rest = int(m.group(1)), m.group(2)
+                if n < 10:
+                    name = f"upconv_{n % 2}.{4 - n // 2}.{rest}"
+                else:
+                    name = f"dispconvs.{n - 10}.{rest}"
+        out[name] = v
     return out
 
 

@@ -111,6 +111,10 @@ class Config:
     pred_depth_scale_factor: float = 1.0
     load_weights_folder: Optional[str] = None
     ddad: bool = False
+    # legacy eval (eval_depth_ori equivalent)
+    save_pred_disps: bool = False
+    no_eval: bool = False
+    ext_disp_to_eval: Optional[str] = None
 
     # logging / checkpoints
     name: str = "test"
