@@ -93,6 +93,10 @@ class Config:
 
     # freezing
     freeze_teacher_and_pose: bool = False
+    # accepted for CLI compatibility but REJECTED if changed: the
+    # schedule-triggered freeze is commented out in the reference
+    # (trainer.py:410-414) and never ran; silently accepting these would
+    # let users believe a freeze schedule is in effect
     freeze_teacher_epoch: int = 150
     freeze_teacher_step: int = -1
     freeze_pose: bool = False
@@ -149,6 +153,14 @@ class Config:
             )
         assert cfg.height % 32 == 0, "'height' must be a multiple of 32"
         assert cfg.width % 32 == 0, "'width' must be a multiple of 32"
+        if (cfg.freeze_teacher_epoch, cfg.freeze_teacher_step) != (150, -1):
+            raise ValueError(
+                "--freeze_teacher_epoch/--freeze_teacher_step are dead "
+                "flags: the epoch/step-triggered freeze is commented out "
+                "in the reference (trainer.py:410-414) and is not "
+                "implemented here; use --freeze_teacher_and_pose or "
+                "--freeze_pose from the start of the run"
+            )
         return cfg
 
     @property

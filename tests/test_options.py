@@ -40,3 +40,18 @@ def test_frame_ids_and_seed():
     )
     assert opt.frame_ids == (0, -1, 1)
     assert opt.pytorch_random_seed == 42
+
+
+def test_dead_freeze_schedule_flags_rejected():
+    """freeze_teacher_epoch/step never ran in the reference
+    (trainer.py:410-414, commented out); setting them must fail loudly."""
+    import pytest
+
+    from ppeadepth_tpu.options import Config, parse_args
+
+    with pytest.raises(ValueError, match="dead flags"):
+        Config(freeze_teacher_step=100).with_mode_presets()
+    with pytest.raises(ValueError, match="dead flags"):
+        parse_args(["--freeze_teacher_epoch", "10"])
+    # defaults stay accepted
+    parse_args([])
