@@ -1,0 +1,282 @@
+"""Gather-free bilinear image warp (border mode) on the MXU, with a
+custom VJP to the sample coordinates.
+
+The photometric warp (train/step.py:_warp_frames -> ops/sampling.
+grid_sample, reference trainer.py:904-914) is the train step's second
+gather bottleneck after the cost volume: at KITTI shapes each warp
+bilinear-gathers a (2,2,3) patch per full-res pixel, and its coordinate
+gradient reuses the same corner gathers — profiled as 16 near-identical
+~10 ms "custom fusion" HLOs, ~27% of the 624 ms step.
+
+Design (differs from kernels/cost_volume_mxu.py's hat-matmul in two
+load-bearing ways):
+
+1. **Exact indicator decomposition instead of hat weights.**  Border
+   bilinear along x is `(1-f) * v(fx) + f * v(fx1)` with `fx =
+   floor(clamp(x))`, `fx1 = min(fx+1, W-1)`, `f = frac`.  The kernel
+   builds 0/1 indicator matrices `I0[xi,n] = (xi == fx(n))`, `I1[xi,n] =
+   (xi == fx1(n))` and computes the row selections as TWO bf16 MXU
+   matmuls `img_row [C,W] @ I{0,1} [W,W]`.  0/1 entries are exact in
+   bf16, so unlike a bf16 hat matmul there is no weight-rounding error
+   and no near-lattice sign instability; the only inexactness is the
+   image operand's bf16 rounding (~4e-3 — the same magnitude as the
+   8-bit source quantization; mm_dtype="float32" + precision="highest"
+   gives the exact-mode used by tests).  The fractional blend and the
+   hat weights along y stay in f32 on the VPU.
+   Bonus: d warped/dx = (A1 - A0) * hat_y — the difference of the two
+   matmuls already computed — which reproduces torch's one-sided
+   bilinear derivative convention at integer coordinates exactly
+   (a pure hat derivative is 0 there, silently wrong), and the clamped
+   `fx1` makes the derivative vanish at the right border like the
+   reference's clamped corner gathers do.  d warped/dy swaps the y-hat
+   for the same indicator difference along y.
+
+2. **Lane-friendly layouts everywhere.**  The image block is passed as
+   [B, H, C, W] (W on the 128-lane axis; a natural NHWC block would put
+   C=3 on lanes, which Mosaic pads to 128 — a measured 42x VMEM blowup:
+   the [1,192,640,3] f32 window alone wanted 62.9 MB x2 buffers).
+   Coordinates travel as [B, H, W] and the output as [B, C, H, W], so
+   no operand or result carries a 1- or 3-wide minor dim that XLA would
+   pad 128x in HBM and re-copy.
+
+Per grid step (b, one output row): indicators are built once; a dynamic
+fori walks only the row band [floor(min y), floor(max y)+1] the tile's
+epipolar segment touches (pose-independent, exact).
+
+Semantics match ops/sampling.grid_sample(..., "border") and its
+autodiff coordinate gradient (tests/test_warp_mxu.py, interpret mode;
+on-device equivalence in the verify skill).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def resolve_warp_backend(backend):
+    """'auto' -> 'mxu' on TPU, 'lax' elsewhere."""
+    if backend == "auto":
+        return "mxu" if jax.default_backend() == "tpu" else "lax"
+    return backend
+
+
+# dot_general dims: row [C, W] (x) indicators [W, TN], contract over W
+_DN = (((1,), (0,)), ((), ()))
+
+
+def _coords_prep(cx, cy, H, W):
+    """Unnormalize (align_corners), border-clamp, split int/frac parts.
+
+    cx, cy: [1, TN] normalized [-1, 1].  Mirrors ops/sampling.py:17-49.
+    """
+    x = (cx + 1.0) * 0.5 * (W - 1)
+    y = (cy + 1.0) * 0.5 * (H - 1)
+    xc = jnp.clip(x, 0.0, W - 1)
+    yc = jnp.clip(y, 0.0, H - 1)
+    fx = jnp.floor(xc)
+    fy = jnp.floor(yc)
+    return x, y, xc, yc, fx, fy
+
+
+def _indicators(fx, W, TN, mm_dtype):
+    """I0[xi,n] = (xi == fx[n]), I1[xi,n] = (xi == min(fx+1, W-1))."""
+    xi = jax.lax.broadcasted_iota(jnp.int32, (W, TN), 0)
+    fxi = fx.astype(jnp.int32)  # [1, TN]
+    i0 = (xi == fxi).astype(mm_dtype)
+    i1 = (xi == jnp.minimum(fxi + 1, W - 1)).astype(mm_dtype)
+    return i0, i1
+
+
+def _band(yc, H):
+    """Dynamic row band [lo, hi) touched by this tile's y interpolation."""
+    y_safe = jnp.where(jnp.isfinite(yc), yc, 0.0)
+    lo = jnp.clip(jnp.floor(jnp.min(y_safe)), 0.0, H - 1).astype(jnp.int32)
+    hi = jnp.minimum(
+        jnp.clip(jnp.floor(jnp.max(y_safe)), 0.0, H - 1).astype(jnp.int32)
+        + 2,
+        H,
+    )
+    return lo, hi
+
+
+def _fwd_kernel(H, W, C, precision, mm_dtype,
+                img_ref, cx_ref, cy_ref, out_ref, acc_ref):
+    TN = W
+    _, _, xc, yc, fx, fy = _coords_prep(cx_ref[0, 0], cy_ref[0, 0], H, W)
+    i0, i1 = _indicators(fx, W, TN, mm_dtype)
+    f = (xc - fx)  # [1, TN] f32
+
+    lo, hi = _band(yc, H)
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    def y_body(yi, _):
+        row = img_ref[0, yi]  # [C, W]
+        a0 = jax.lax.dot_general(row, i0, _DN,
+                                 preferred_element_type=jnp.float32,
+                                 precision=precision)  # [C, TN]
+        a1 = jax.lax.dot_general(row, i1, _DN,
+                                 preferred_element_type=jnp.float32,
+                                 precision=precision)
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(yc - yi))  # [1, TN]
+        acc_ref[...] += wy * ((1.0 - f) * a0 + f * a1)
+        return 0
+
+    jax.lax.fori_loop(lo, hi, y_body, 0)
+    out_ref[0, 0] = acc_ref[...].astype(out_ref.dtype)
+
+
+def _bwd_kernel(H, W, C, precision, mm_dtype,
+                img_ref, cx_ref, cy_ref, g_ref,
+                dcx_ref, dcy_ref, gx_ref, gy_ref):
+    TN = W
+    x, y, xc, yc, fx, fy = _coords_prep(cx_ref[0, 0], cy_ref[0, 0], H, W)
+    i0, i1 = _indicators(fx, W, TN, mm_dtype)
+    f = (xc - fx)
+
+    fyi = fy.astype(jnp.int32)
+    fy1 = jnp.minimum(fyi + 1, H - 1)
+
+    lo, hi = _band(yc, H)
+    gx_ref[...] = jnp.zeros_like(gx_ref)
+    gy_ref[...] = jnp.zeros_like(gy_ref)
+
+    g = g_ref[0, 0]  # [C, TN] f32
+
+    def y_body(yi, _):
+        row = img_ref[0, yi]  # [C, W]
+        a0 = jax.lax.dot_general(row, i0, _DN,
+                                 preferred_element_type=jnp.float32,
+                                 precision=precision)
+        a1 = jax.lax.dot_general(row, i1, _DN,
+                                 preferred_element_type=jnp.float32,
+                                 precision=precision)
+        b = (1.0 - f) * a0 + f * a1          # warped contribution of row yi
+        ddx = a1 - a0                         # d b / dx (one-sided at ints)
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(yc - yi))
+        # d warped / dy: indicator difference along y (one-sided at ints,
+        # vanishing at the clamped bottom border because fy1 == fy there)
+        dwy = ((yi == fy1).astype(jnp.float32)
+               - (yi == fyi).astype(jnp.float32))
+        gx_ref[...] += jnp.sum(g * ddx, axis=0, keepdims=True) * wy
+        gy_ref[...] += jnp.sum(g * b, axis=0, keepdims=True) * dwy
+        return 0
+
+    jax.lax.fori_loop(lo, hi, y_body, 0)
+
+    # clamp masks (jnp.clip passes gradient only strictly inside) and the
+    # align_corners unnormalization chain
+    mx = ((x >= 0.0) & (x <= W - 1)).astype(jnp.float32)
+    my = ((y >= 0.0) & (y <= H - 1)).astype(jnp.float32)
+    dcx_ref[0, 0] = gx_ref[...] * mx * (0.5 * (W - 1))
+    dcy_ref[0, 0] = gy_ref[...] * my * (0.5 * (H - 1))
+
+
+def _call_fwd(img_t, cx, cy, interpret, precision, mm_dtype):
+    B, H, C, W = img_t.shape
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, H, W, C,
+                          jax.lax.Precision(precision), jnp.dtype(mm_dtype)),
+        grid=(B, H),
+        in_specs=[
+            pl.BlockSpec((1, H, C, W), lambda b, r: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, W), lambda b, r: (b, r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, W), lambda b, r: (b, r, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, C, W), lambda b, r: (b, r, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, C, W), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((C, W), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(img_t, cx, cy)
+
+
+def _call_bwd(img_t, cx, cy, g, interpret, precision, mm_dtype):
+    B, H, C, W = img_t.shape
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, H, W, C,
+                          jax.lax.Precision(precision), jnp.dtype(mm_dtype)),
+        grid=(B, H),
+        in_specs=[
+            pl.BlockSpec((1, H, C, W), lambda b, r: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, W), lambda b, r: (b, r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, W), lambda b, r: (b, r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, C, W), lambda b, r: (b, r, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, 1, W), lambda b, r: (b, r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, W), lambda b, r: (b, r, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, 1, W), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, 1, W), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, W), jnp.float32),
+            pltpu.VMEM((1, W), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(img_t, cx, cy, g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def grid_sample_border_mxu(img, coords, interpret=False,
+                           precision="default", mm_dtype="bfloat16"):
+    """Drop-in for ops/sampling.grid_sample(img, coords, "border").
+
+    img: [B, H, W, C] float32; coords: [B, H, W, 2] normalized [-1, 1]
+    (align_corners=True).  Returns [B, H, W, C] float32.  Differentiable
+    wrt coords only (the image is training data in every caller).
+
+    mm_dtype is the image MXU-operand dtype: "bfloat16" (default; exact
+    pixel selection, image values rounded to ~8.7 bits — below the 8-bit
+    source quantization) or "float32" with precision="highest" for the
+    bit-exact mode used by the equivalence tests.
+    """
+    out, _ = _fwd(img, coords, interpret, precision, mm_dtype)
+    return out
+
+
+def _fwd(img, coords, interpret, precision, mm_dtype):
+    B, H, W, C = img.shape
+    cx = coords[..., 0].astype(jnp.float32)[:, :, None, :]  # [B, H, 1, W]
+    cy = coords[..., 1].astype(jnp.float32)[:, :, None, :]
+    # [B, H, C, W]: W on lanes (see layout note in the module docstring)
+    img_t = jnp.transpose(img, (0, 1, 3, 2)).astype(jnp.dtype(mm_dtype))
+    out = _call_fwd(img_t, cx, cy, interpret, precision, mm_dtype)
+    return jnp.transpose(out, (0, 1, 3, 2)), (img_t, cx, cy)
+
+
+def _bwd(interpret, precision, mm_dtype, res, g):
+    img_t, cx, cy = res
+    B, H, C, W = img_t.shape
+    g2 = jnp.transpose(g, (0, 1, 3, 2)).astype(jnp.float32)  # [B, H, C, W]
+    dcx, dcy = _call_bwd(img_t, cx, cy, g2, interpret, precision, mm_dtype)
+    dcoords = jnp.stack([dcx[:, :, 0, :], dcy[:, :, 0, :]], axis=-1)
+    return jnp.zeros((B, H, W, C), jnp.float32), dcoords
+
+
+grid_sample_border_mxu.defvjp(
+    lambda img, coords, interpret, precision, mm_dtype:
+        _fwd(img, coords, interpret, precision, mm_dtype),
+    _bwd,
+)

@@ -32,6 +32,7 @@ from flax import struct
 
 from ..core import losses as L
 from ..core.geometry import disp_to_depth, reproject_coords
+from ..kernels import warp_mxu
 from ..options import Config
 from ..ops.resize import resize_bilinear
 from ..ops.sampling import grid_sample
@@ -69,7 +70,16 @@ def create_train_state(model, variables, opt: Config, tx) -> TrainState:
 
 
 def _warp_frames(inputs, depth, poses, opt: Config, is_multi: bool):
-    """Inverse-warp neighbor frames into frame 0 (trainer.py:894-914)."""
+    """Inverse-warp neighbor frames into frame 0 (trainer.py:894-914).
+
+    Backend 'mxu' replaces the bilinear corner gathers (and their
+    coordinate-gradient re-gathers — 16 x ~10 ms custom fusions, ~27%
+    of the step at KITTI shapes) with the gather-free indicator-matmul
+    pallas kernel (kernels/warp_mxu.py; exact pixel selection, image
+    operand in bf16). 'mxu_exact' is the bit-exact f32 mode; 'lax' is
+    the XLA gather path (exact oracle).
+    """
+    backend = warp_mxu.resolve_warp_backend(opt.warp_backend)
     K = inputs[("K", 0)]
     invK = inputs[("inv_K", 0)]
     warped = {}
@@ -78,7 +88,14 @@ def _warp_frames(inputs, depth, poses, opt: Config, is_multi: bool):
         if is_multi:
             T = jax.lax.stop_gradient(T)  # trainer.py:899-901
         coords = reproject_coords(depth, invK, K, T)
-        warped[f] = grid_sample(inputs[("color", f, 0)], coords, "border")
+        color = inputs[("color", f, 0)]
+        if backend == "lax":
+            warped[f] = grid_sample(color, coords, "border")
+        elif backend == "mxu_exact":
+            warped[f] = warp_mxu.grid_sample_border_mxu(
+                color, coords, False, "highest", "float32")
+        else:  # 'mxu': exact pixel selection, bf16 image operand
+            warped[f] = warp_mxu.grid_sample_border_mxu(color, coords)
     return warped
 
 
