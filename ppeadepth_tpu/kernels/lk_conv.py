@@ -10,7 +10,7 @@ two backends:
   * `pallas`— a hand-tiled Mosaic kernel (kernels/lk_conv_pallas.py) that
               keeps a (H-tile + halo, W, C-lane) window in VMEM and
               accumulates the k x k taps as shifted multiply-adds on the
-              VPU, fusing the parallel 5x5 small-kernel branch.
+              VPU.
 
 Backend selection: `set_backend("pallas"|"lax")` or env
 `PPEA_LK_BACKEND`. The pallas path is only used on TPU for stride-1

@@ -7,17 +7,16 @@ therefore optimises for data movement:
 
   * the input is spatially padded once in HBM;
   * the grid walks (batch, H-tiles); each step DMAs one
-    [TH + k - 1, W + k - 1, C] halo window HBM -> VMEM (double-buffered
-    against compute);
-  * the k x k taps accumulate as shifted multiply-adds over the VMEM
-    window — rows are sliced on the outer (cheap) dimension, columns via
-    lane-preserving dynamic slices; channels stay on the 128-wide lane
-    axis the whole time;
-  * accumulation is always f32, output cast to the input dtype.
-
-A fused dual variant computes the parallel small-kernel (5x5) branch in
-the same window pass (its taps are a centered subset of the large
-window), halving HBM traffic for ReparamLargeKernelConv's training form.
+    [TH + k - 1, W + k - 1, C] halo window HBM -> VMEM;
+  * accumulation happens in a f32 VMEM scratch (NOT a loop carry — a
+    961-tap fori with a [TH, W, C] f32 carry blows Mosaic's register
+    allocator, the round-1 hidden-HTTP-500 signature);
+  * the tap loop is restructured as row bands: a dynamic fori over the k
+    kernel rows loads each [TH, W + k - 1, C] band once, then a static
+    unroll over the k columns accumulates lane-preserving shifted
+    multiply-adds — each window row is read k times instead of k^2;
+  * channels stay on the 128-wide lane axis the whole time; output is
+    cast back to the input dtype.
 """
 
 from __future__ import annotations
@@ -41,7 +40,7 @@ def _choose_tile_h(H: int, W: int, C: int, k: int, dtype_bytes: int,
     return 8
 
 
-def _dw_kernel(k, TH, W, C, x_hbm, w_ref, out_ref, win, sem):
+def _dw_kernel(k, TH, W, C, x_hbm, w_ref, out_ref, win, acc, sem):
     b = pl.program_id(0)
     i = pl.program_id(1)
 
@@ -51,18 +50,20 @@ def _dw_kernel(k, TH, W, C, x_hbm, w_ref, out_ref, win, sem):
     cp.start()
     cp.wait()
 
-    def body(t, acc):
-        ky = t // k
-        kx = t % k
-        # [TH, W, C] shifted window x per-channel tap weight
-        patch = win[pl.ds(ky, TH), pl.ds(kx, W), :]
-        tap = w_ref[ky, kx, 0, :]
-        return acc + patch.astype(jnp.float32) * tap.astype(jnp.float32)
+    acc[...] = jnp.zeros_like(acc)
 
-    acc = jax.lax.fori_loop(
-        0, k * k, body, jnp.zeros((TH, W, C), jnp.float32)
-    )
-    out_ref[0] = acc.astype(out_ref.dtype)
+    def row_body(ky, _):
+        band = win[pl.ds(ky, TH)]          # [TH, W + k - 1, C]
+        taps = w_ref[ky, :, 0, :]          # [k, C]
+        for kx in range(k):                # static: shifted sublane slices
+            acc[...] += (
+                band[:, kx:kx + W, :].astype(jnp.float32)
+                * taps[kx, :].astype(jnp.float32)
+            )
+        return 0
+
+    jax.lax.fori_loop(0, k, row_body, 0)
+    out_ref[0] = acc[...].astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("padding",))
@@ -96,6 +97,7 @@ def depthwise_conv2d_pallas(x, w, padding: int):
         out_shape=jax.ShapeDtypeStruct((B, Hp, W, C), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((TH + k - 1, W + 2 * padding, C), x.dtype),
+            pltpu.VMEM((TH, W, C), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(
