@@ -133,6 +133,7 @@ class Config:
     bin_chunk: int = 8  # cost-volume bins per gather chunk (VMEM/HBM bound)
     cv_backend: str = "auto"  # plane-sweep: auto | lax | mxu | mxu_f32
     warp_backend: str = "auto"  # photometric warp: auto | lax | mxu | mxu_exact
+    remat_loss: bool = True  # recompute scale-0 loss intermediates in bwd
     fast_pipeline: bool = False      # native decode + device-side augment
     merged: bool = False             # deploy: reparam-merged LK convs
 

@@ -183,6 +183,24 @@ def make_train_step(model, opt: Config, tx, donate: bool = True):
     freeze_tp = opt.freeze_teacher_and_pose
     update_bins = (not freeze_tp) and (not opt.notadabins)
 
+    # Remat the scale-0 loss section: its full-res intermediates (4 warps,
+    # 6 SSIM pyramids, masks) dominate live HBM but cost only a few ms to
+    # recompute in the backward pass. Without this, the MXU-warp train
+    # step OOMs at bs 12 no-remat on a 16 GB v5e.
+    # (outputs mixes tuple and str keys, which pytree dict-key sorting
+    # under jax.checkpoint rejects — split and re-merge at the boundary)
+    def _branch_split(inputs, outs_t, outs_s, noise_rng, is_multi):
+        return _branch_losses(inputs, {**outs_t, **outs_s}, opt,
+                              noise_rng, is_multi)
+
+    if opt.remat_loss:
+        _branch_split = jax.checkpoint(_branch_split, static_argnums=(4,))
+
+    def _branch(inputs, outputs, noise_rng, is_multi):
+        outs_t = {k: v for k, v in outputs.items() if isinstance(k, tuple)}
+        outs_s = {k: v for k, v in outputs.items() if not isinstance(k, tuple)}
+        return _branch_split(inputs, outs_t, outs_s, noise_rng, is_multi)
+
     def loss_fn(trainable, frozen, batch_stats, batch, min_bin, max_bin, rng):
         params = freeze.merge(trainable, frozen)
         rng_dp, rng_aug, rng_n1, rng_n2 = jax.random.split(rng, 4)
@@ -199,8 +217,8 @@ def make_train_step(model, opt: Config, tx, donate: bool = True):
         )
 
         # teacher branch
-        mono_loss, mono_aux, mono_depth = _branch_losses(
-            batch, mono_outputs, opt, rng_n1, is_multi=False
+        mono_loss, mono_aux, mono_depth = _branch(
+            batch, mono_outputs, rng_n1, False
         )
         # expose teacher depth to the student branch (trainer.py:443-448)
         outputs[("mono_depth", 0, 0)] = mono_depth
@@ -214,8 +232,8 @@ def make_train_step(model, opt: Config, tx, donate: bool = True):
             )[..., 0]
         )
 
-        multi_loss, multi_aux, _ = _branch_losses(
-            batch, outputs, opt, rng_n2, is_multi=True
+        multi_loss, multi_aux, _ = _branch(
+            batch, outputs, rng_n2, True
         )
 
         total = multi_loss
