@@ -104,9 +104,8 @@ def _band(yc, H):
     return lo, hi
 
 
-def _fwd_kernel(H, W, C, precision, mm_dtype,
+def _fwd_kernel(H, W, C, TN, precision, mm_dtype,
                 img_ref, cx_ref, cy_ref, out_ref, acc_ref):
-    TN = W
     _, _, xc, yc, fx, fy = _coords_prep(cx_ref[0, 0], cy_ref[0, 0], H, W)
     i0, i1 = _indicators(fx, W, TN, mm_dtype)
     f = (xc - fx)  # [1, TN] f32
@@ -130,10 +129,9 @@ def _fwd_kernel(H, W, C, precision, mm_dtype,
     out_ref[0, 0] = acc_ref[...].astype(out_ref.dtype)
 
 
-def _bwd_kernel(H, W, C, precision, mm_dtype,
+def _bwd_kernel(H, W, C, TN, precision, mm_dtype,
                 img_ref, cx_ref, cy_ref, g_ref,
                 dcx_ref, dcy_ref, gx_ref, gy_ref):
-    TN = W
     x, y, xc, yc, fx, fy = _coords_prep(cx_ref[0, 0], cy_ref[0, 0], H, W)
     i0, i1 = _indicators(fx, W, TN, mm_dtype)
     f = (xc - fx)
@@ -176,24 +174,25 @@ def _bwd_kernel(H, W, C, precision, mm_dtype,
     dcy_ref[0, 0] = gy_ref[...] * my * (0.5 * (H - 1))
 
 
-def _call_fwd(img_t, cx, cy, interpret, precision, mm_dtype):
+def _call_fwd(img_t, cx, cy, rows, interpret, precision, mm_dtype):
     B, H, C, W = img_t.shape
+    NT, TN = H // rows, rows * W
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, H, W, C,
+        functools.partial(_fwd_kernel, H, W, C, TN,
                           jax.lax.Precision(precision), jnp.dtype(mm_dtype)),
-        grid=(B, H),
+        grid=(B, NT),
         in_specs=[
             pl.BlockSpec((1, H, C, W), lambda b, r: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, W), lambda b, r: (b, r, 0, 0),
+            pl.BlockSpec((1, 1, 1, TN), lambda b, r: (b, r, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, W), lambda b, r: (b, r, 0, 0),
+            pl.BlockSpec((1, 1, 1, TN), lambda b, r: (b, r, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, C, W), lambda b, r: (b, r, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, C, TN), lambda b, r: (b, r, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, H, C, W), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((C, W), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((B, NT, C, TN), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((C, TN), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
@@ -201,35 +200,36 @@ def _call_fwd(img_t, cx, cy, interpret, precision, mm_dtype):
     )(img_t, cx, cy)
 
 
-def _call_bwd(img_t, cx, cy, g, interpret, precision, mm_dtype):
+def _call_bwd(img_t, cx, cy, g, rows, interpret, precision, mm_dtype):
     B, H, C, W = img_t.shape
+    NT, TN = H // rows, rows * W
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, H, W, C,
+        functools.partial(_bwd_kernel, H, W, C, TN,
                           jax.lax.Precision(precision), jnp.dtype(mm_dtype)),
-        grid=(B, H),
+        grid=(B, NT),
         in_specs=[
             pl.BlockSpec((1, H, C, W), lambda b, r: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, W), lambda b, r: (b, r, 0, 0),
+            pl.BlockSpec((1, 1, 1, TN), lambda b, r: (b, r, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, W), lambda b, r: (b, r, 0, 0),
+            pl.BlockSpec((1, 1, 1, TN), lambda b, r: (b, r, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, C, W), lambda b, r: (b, r, 0, 0),
+            pl.BlockSpec((1, 1, C, TN), lambda b, r: (b, r, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, 1, W), lambda b, r: (b, r, 0, 0),
+            pl.BlockSpec((1, 1, 1, TN), lambda b, r: (b, r, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, W), lambda b, r: (b, r, 0, 0),
+            pl.BlockSpec((1, 1, 1, TN), lambda b, r: (b, r, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, H, 1, W), jnp.float32),
-            jax.ShapeDtypeStruct((B, H, 1, W), jnp.float32),
+            jax.ShapeDtypeStruct((B, NT, 1, TN), jnp.float32),
+            jax.ShapeDtypeStruct((B, NT, 1, TN), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((1, W), jnp.float32),
-            pltpu.VMEM((1, W), jnp.float32),
+            pltpu.VMEM((1, TN), jnp.float32),
+            pltpu.VMEM((1, TN), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024,
@@ -256,22 +256,43 @@ def grid_sample_border_mxu(img, coords, interpret=False,
     return out
 
 
+def _rows_for(H):
+    """Output rows per grid step: amortizes per-step fixed costs (indicator
+    build, matmul dispatch) 4x; falls back for heights not divisible."""
+    for r in (4, 2, 1):
+        if H % r == 0:
+            return r
+    return 1
+
+
 def _fwd(img, coords, interpret, precision, mm_dtype):
     B, H, W, C = img.shape
-    cx = coords[..., 0].astype(jnp.float32)[:, :, None, :]  # [B, H, 1, W]
-    cy = coords[..., 1].astype(jnp.float32)[:, :, None, :]
+    rows = _rows_for(H)
+    NT, TN = H // rows, rows * W
+    cx = coords[..., 0].astype(jnp.float32).reshape(B, NT, 1, TN)
+    cy = coords[..., 1].astype(jnp.float32).reshape(B, NT, 1, TN)
     # [B, H, C, W]: W on lanes (see layout note in the module docstring)
     img_t = jnp.transpose(img, (0, 1, 3, 2)).astype(jnp.dtype(mm_dtype))
-    out = _call_fwd(img_t, cx, cy, interpret, precision, mm_dtype)
-    return jnp.transpose(out, (0, 1, 3, 2)), (img_t, cx, cy)
+    out = _call_fwd(img_t, cx, cy, rows, interpret, precision, mm_dtype)
+    # [B, NT, C, rows*W] -> [B, H, W, C]
+    out = out.reshape(B, NT, C, rows, W).transpose(0, 1, 3, 4, 2)
+    # residuals: the primal image (aliases the live input; img_t is
+    # recomputed in _bwd — saving it would hold an extra copy per warp)
+    return out.reshape(B, H, W, C), (img, cx, cy)
 
 
 def _bwd(interpret, precision, mm_dtype, res, g):
-    img_t, cx, cy = res
-    B, H, C, W = img_t.shape
-    g2 = jnp.transpose(g, (0, 1, 3, 2)).astype(jnp.float32)  # [B, H, C, W]
-    dcx, dcy = _call_bwd(img_t, cx, cy, g2, interpret, precision, mm_dtype)
-    dcoords = jnp.stack([dcx[:, :, 0, :], dcy[:, :, 0, :]], axis=-1)
+    img, cx, cy = res
+    B, H, W, C = img.shape
+    rows = _rows_for(H)
+    NT, TN = H // rows, rows * W
+    img_t = jnp.transpose(img, (0, 1, 3, 2)).astype(jnp.dtype(mm_dtype))
+    g2 = g.astype(jnp.float32).reshape(B, NT, rows, W, C)
+    g2 = g2.transpose(0, 1, 4, 2, 3).reshape(B, NT, C, TN)
+    dcx, dcy = _call_bwd(img_t, cx, cy, g2, rows, interpret, precision,
+                         mm_dtype)
+    dcoords = jnp.stack([dcx.reshape(B, H, W), dcy.reshape(B, H, W)],
+                        axis=-1)
     return jnp.zeros((B, H, W, C), jnp.float32), dcoords
 
 

@@ -133,7 +133,11 @@ class Config:
     bin_chunk: int = 8  # cost-volume bins per gather chunk (VMEM/HBM bound)
     cv_backend: str = "auto"  # plane-sweep: auto | lax | mxu | mxu_f32
     warp_backend: str = "auto"  # photometric warp: auto | lax | mxu | mxu_exact
-    remat_loss: bool = True  # recompute scale-0 loss intermediates in bwd
+    # memory escape hatch: recompute scale-0 loss intermediates in bwd.
+    # Costs ~200 ms/step at bs 12 (XLA stops fusing the SSIM pools across
+    # the checkpoint boundary) — only enable when HBM-bound; the default
+    # mxu-warp step fits bs 12 on 16 GB without it (BENCHMARKS.md).
+    remat_loss: bool = False
     fast_pipeline: bool = False      # native decode + device-side augment
     merged: bool = False             # deploy: reparam-merged LK convs
 
