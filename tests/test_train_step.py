@@ -199,3 +199,19 @@ def test_chained_matching_poses_multi_frame():
     assert not np.allclose(
         poses[("relative_pose", -2)], poses[("relative_pose", -1)]
     )
+
+
+def test_remat_loss_equivalence():
+    """--remat_loss must not change the computed loss (it only trades
+    HBM for recompute in the backward pass)."""
+    opt = TINY
+    model, state, tx, batch = init_model_state(opt, 2)
+    rng = jax.random.PRNGKey(3)
+    losses = {}
+    for flag in (False, True):
+        o = opt.replace(remat_loss=flag)
+        step = make_train_step(model, o, tx, donate=False)
+        _, metrics = step(state, batch, rng)
+        losses[flag] = float(metrics["loss"])
+    assert np.isfinite(losses[False])
+    np.testing.assert_allclose(losses[True], losses[False], rtol=1e-6)

@@ -58,6 +58,7 @@ def main():
     p.add_argument("--frames", type=int, default=64)
     p.add_argument("--fast_pipeline", action="store_true")
     p.add_argument("--remat", action="store_true")
+    p.add_argument("--remat_loss", action="store_true")
     p.add_argument("--height", type=int, default=192)
     p.add_argument("--width", type=int, default=640)
     args = p.parse_args()
@@ -92,6 +93,7 @@ def main():
     opt = Config(
         adapter=True, rep_size="b", adpt_test=4,
         use_checkpoint=args.remat, compute_dtype="bfloat16",
+        remat_loss=args.remat_loss,
         height=args.height, width=args.width, batch_size=args.batch,
         data_path=root, split="timing", num_epochs=1,
         num_workers=args.workers, validate_every=0,
