@@ -28,7 +28,7 @@ def main():
     p.add_argument("--batch", type=int, default=12)
     p.add_argument("--iters", type=int, default=4)
     p.add_argument("--remat", action="store_true")
-    p.add_argument("--no_remat_loss", action="store_true")
+    p.add_argument("--remat_loss", action="store_true")
     p.add_argument("--warp_backend", default="auto")
     p.add_argument("--cv_backend", default="auto")
     p.add_argument("--dtype", default="bfloat16")
@@ -58,7 +58,7 @@ def main():
         height=args.height, width=args.width, batch_size=args.batch,
         adpt_test=4, compute_dtype=args.dtype, cv_backend=args.cv_backend,
         warp_backend=args.warp_backend,
-        remat_loss=not args.no_remat_loss,
+        remat_loss=args.remat_loss,
     )
     model = RepDepth(opt)
 
