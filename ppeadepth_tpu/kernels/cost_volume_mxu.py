@@ -78,49 +78,57 @@ def _kernel(H, W, C, TN, BD, eps, precision, cur_ref, lk_ref, A_ref, t_ref,
         (gy_i >= 2) & (gy_i < H - 2) & (gx_i >= 2) & (gx_i < W - 2)
     ).astype(jnp.float32)
 
-    # static unroll over this step's BD bins: static output indices (Mosaic
-    # rejects stores at loop-carried dynamic offsets) while the dynamic-bound
-    # y-band fori stays at top level, which it can lower
+    # Stack this step's BD bins along the matmul M axis: hat weights
+    # wx[n, xi] = max(0, 1 - |x(n) - xi|) (exactly bilinear zeros-padding
+    # interpolation along x) concatenate to WX [BD*TN, W] — TN is a
+    # multiple of the 8-sublane tile, so the concat and the per-bin
+    # slices below are layout-aligned (free).  One matmul per lookup row
+    # then serves ALL BD bins (8x fewer MXU dispatches than the round-1
+    # per-bin loop; measured overhead-bound at these sizes), with each
+    # bin's y-hat riding along as aligned rows of Y.
+    xs, ys, wxs = [], [], []
     for d in range(BD):
         depth = bins_ref[d, 0, 0]
         den = bz * depth + t2 + eps
         x = (bx * depth + t0) / den  # [TN, 1]
         y = (by * depth + t1) / den
+        xs.append(x)
+        ys.append(y)
+        wxs.append(jnp.maximum(0.0, 1.0 - jnp.abs(x - xi)))
+    WX = jnp.concatenate(wxs, axis=0).astype(lk_ref.dtype)  # [BD*TN, W]
+    Y = jnp.concatenate(ys, axis=0)                         # [BD*TN, 1]
 
-        # hat weights over x: wx[n, xi] = max(0, 1 - |x(n) - xi|) — exactly
-        # bilinear zeros-padding interpolation along x (both corners in one
-        # hat function)
-        wx = jnp.maximum(0.0, 1.0 - jnp.abs(x - xi))
+    # dynamic y band: union over the BD bins (adjacent bins' epipolar
+    # segments are close, so the union stays a few rows)
+    y_safe = jnp.where(jnp.isfinite(Y), Y, 0.0)
+    y_lo = jnp.clip(jnp.floor(jnp.min(y_safe)), 0.0, H - 1).astype(
+        jnp.int32)
+    y_hi = jnp.minimum(
+        jnp.clip(jnp.floor(jnp.max(y_safe)), 0.0, H - 1).astype(
+            jnp.int32) + 2,
+        H,
+    )
 
-        # dynamic y band actually touched by this (tile, bin):
-        # wy[n, yi] != 0 only for yi in [floor(y), floor(y)+1]
-        y_safe = jnp.where(jnp.isfinite(y), y, 0.0)
-        y_lo = jnp.clip(jnp.floor(jnp.min(y_safe)), 0.0, H - 1).astype(
-            jnp.int32)
-        y_hi = jnp.minimum(
-            jnp.clip(jnp.floor(jnp.max(y_safe)), 0.0, H - 1).astype(
-                jnp.int32) + 2,
-            H,
-        )
+    acc_ref[...] = jnp.zeros_like(acc_ref)
 
-        acc_ref[...] = jnp.zeros_like(acc_ref)
+    def y_body(yi, _):
+        lkrow = lk_ref[0, yi]  # [W, C]
+        r = jnp.dot(WX, lkrow, preferred_element_type=jnp.float32,
+                    precision=precision)  # [BD*TN, C]
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(Y - yi))  # [BD*TN, 1]
+        acc_ref[...] += wy * r
+        return 0
 
-        wx_m = wx.astype(lk_ref.dtype)  # bf16 when compute dtype is bf16
+    jax.lax.fori_loop(y_lo, y_hi, y_body, 0)
 
-        def y_body(yi, _):
-            lkrow = lk_ref[0, yi]  # [W, C]
-            r = jnp.dot(wx_m, lkrow, preferred_element_type=jnp.float32,
-                        precision=precision)  # [TN, C]
-            wy = jnp.maximum(0.0, 1.0 - jnp.abs(y - yi))  # [TN, 1]
-            acc_ref[...] += wy * r
-            return 0
-
-        jax.lax.fori_loop(y_lo, y_hi, y_body, 0)
-
-        diff = jnp.mean(jnp.abs(acc_ref[...] - cur_ref[0]), axis=1,
+    # per-bin L1 diff, edge-masked (static output indices per bin)
+    for d in range(BD):
+        a = acc_ref[d * TN:(d + 1) * TN]
+        diff = jnp.mean(jnp.abs(a - cur_ref[0]), axis=1,
                         keepdims=True)  # [TN, 1]
         edge = (
-            (x >= 2.0) & (x <= W - 2) & (y >= 2.0) & (y <= H - 2)
+            (xs[d] >= 2.0) & (xs[d] <= W - 2)
+            & (ys[d] >= 2.0) & (ys[d] <= H - 2)
         ).astype(jnp.float32)
         out_ref[0, d] = diff * edge * border
 
@@ -168,7 +176,10 @@ def frame_diffs_batch(cur_flat, lk_img, A, t, bins, rows_per_tile=2,
         out_specs=pl.BlockSpec((1, BD, TN, 1), lambda b, nt, d: (b, d, nt, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, D, H * W, 1), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((TN, C), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((BD * TN, C), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(cur_flat.astype(jnp.float32), lk_img.astype(lk_dt),
       A.astype(jnp.float32), t.astype(jnp.float32).reshape(B, 1, 3),

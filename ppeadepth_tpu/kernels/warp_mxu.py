@@ -104,7 +104,7 @@ def _band(yc, H):
     return lo, hi
 
 
-def _fwd_kernel(H, W, C, TN, precision, mm_dtype,
+def _fwd_kernel(H, W, CP, TN, WIN, precision, mm_dtype,
                 img_ref, cx_ref, cy_ref, out_ref, acc_ref):
     _, _, xc, yc, fx, fy = _coords_prep(cx_ref[0, 0], cy_ref[0, 0], H, W)
     i0, i1 = _indicators(fx, W, TN, mm_dtype)
@@ -113,23 +113,36 @@ def _fwd_kernel(H, W, C, TN, precision, mm_dtype,
     lo, hi = _band(yc, H)
     acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    def y_body(yi, _):
-        row = img_ref[0, yi]  # [C, W]
-        a0 = jax.lax.dot_general(row, i0, _DN,
+    # WIN-row window per chunk: ONE matmul pair selects x-corners for all
+    # WIN rows at once ([WIN*CP, W] @ [W, TN]); the y blend is then WIN
+    # tile-aligned [CP, TN] FMAs (CP = 8-padded channels -> aligned
+    # row-group merge and slices, no relayouts). Usually 1 chunk/tile.
+    def chunk_body(kk, _):
+        base0 = lo + kk * WIN
+        base = jnp.minimum(base0, H - WIN)
+        w2 = img_ref[0, pl.ds(base, WIN)].reshape(WIN * CP, W)
+        a0 = jax.lax.dot_general(w2, i0, _DN,
                                  preferred_element_type=jnp.float32,
-                                 precision=precision)  # [C, TN]
-        a1 = jax.lax.dot_general(row, i1, _DN,
+                                 precision=precision)  # [WIN*CP, TN]
+        a1 = jax.lax.dot_general(w2, i1, _DN,
                                  preferred_element_type=jnp.float32,
                                  precision=precision)
-        wy = jnp.maximum(0.0, 1.0 - jnp.abs(yc - yi))  # [1, TN]
-        acc_ref[...] += wy * ((1.0 - f) * a0 + f * a1)
+        for j in range(WIN):
+            gyi = base + j
+            # rows revisited by a clamped window start are masked out
+            ok = ((gyi >= base0) & (gyi < hi)).astype(jnp.float32)
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(yc - gyi)) * ok  # [1, TN]
+            a0j = a0[j * CP:(j + 1) * CP]
+            a1j = a1[j * CP:(j + 1) * CP]
+            acc_ref[...] += wy * ((1.0 - f) * a0j + f * a1j)
         return 0
 
-    jax.lax.fori_loop(lo, hi, y_body, 0)
+    nch = (hi - lo + WIN - 1) // WIN
+    jax.lax.fori_loop(0, nch, chunk_body, 0)
     out_ref[0, 0] = acc_ref[...].astype(out_ref.dtype)
 
 
-def _bwd_kernel(H, W, C, TN, precision, mm_dtype,
+def _bwd_kernel(H, W, CP, TN, WIN, precision, mm_dtype,
                 img_ref, cx_ref, cy_ref, g_ref,
                 dcx_ref, dcy_ref, gx_ref, gy_ref):
     x, y, xc, yc, fx, fy = _coords_prep(cx_ref[0, 0], cy_ref[0, 0], H, W)
@@ -143,28 +156,36 @@ def _bwd_kernel(H, W, C, TN, precision, mm_dtype,
     gx_ref[...] = jnp.zeros_like(gx_ref)
     gy_ref[...] = jnp.zeros_like(gy_ref)
 
-    g = g_ref[0, 0]  # [C, TN] f32
+    g = g_ref[0, 0]  # [CP, TN] f32 (zero-padded channels)
 
-    def y_body(yi, _):
-        row = img_ref[0, yi]  # [C, W]
-        a0 = jax.lax.dot_general(row, i0, _DN,
+    def chunk_body(kk, _):
+        base0 = lo + kk * WIN
+        base = jnp.minimum(base0, H - WIN)
+        w2 = img_ref[0, pl.ds(base, WIN)].reshape(WIN * CP, W)
+        a0 = jax.lax.dot_general(w2, i0, _DN,
                                  preferred_element_type=jnp.float32,
                                  precision=precision)
-        a1 = jax.lax.dot_general(row, i1, _DN,
+        a1 = jax.lax.dot_general(w2, i1, _DN,
                                  preferred_element_type=jnp.float32,
                                  precision=precision)
-        b = (1.0 - f) * a0 + f * a1          # warped contribution of row yi
-        ddx = a1 - a0                         # d b / dx (one-sided at ints)
-        wy = jnp.maximum(0.0, 1.0 - jnp.abs(yc - yi))
-        # d warped / dy: indicator difference along y (one-sided at ints,
-        # vanishing at the clamped bottom border because fy1 == fy there)
-        dwy = ((yi == fy1).astype(jnp.float32)
-               - (yi == fyi).astype(jnp.float32))
-        gx_ref[...] += jnp.sum(g * ddx, axis=0, keepdims=True) * wy
-        gy_ref[...] += jnp.sum(g * b, axis=0, keepdims=True) * dwy
+        for j in range(WIN):
+            gyi = base + j
+            ok = ((gyi >= base0) & (gyi < hi)).astype(jnp.float32)
+            a0j = a0[j * CP:(j + 1) * CP]
+            a1j = a1[j * CP:(j + 1) * CP]
+            b = (1.0 - f) * a0j + f * a1j    # warped contribution of row
+            ddx = a1j - a0j                   # d b / dx (one-sided at ints)
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(yc - gyi)) * ok
+            # d warped / dy: indicator difference along y (one-sided at
+            # ints, vanishing at the clamped bottom border: fy1 == fy)
+            dwy = ((gyi == fy1).astype(jnp.float32)
+                   - (gyi == fyi).astype(jnp.float32)) * ok
+            gx_ref[...] += jnp.sum(g * ddx, axis=0, keepdims=True) * wy
+            gy_ref[...] += jnp.sum(g * b, axis=0, keepdims=True) * dwy
         return 0
 
-    jax.lax.fori_loop(lo, hi, y_body, 0)
+    nch = (hi - lo + WIN - 1) // WIN
+    jax.lax.fori_loop(0, nch, chunk_body, 0)
 
     # clamp masks (jnp.clip passes gradient only strictly inside) and the
     # align_corners unnormalization chain
@@ -174,25 +195,25 @@ def _bwd_kernel(H, W, C, TN, precision, mm_dtype,
     dcy_ref[0, 0] = gy_ref[...] * my * (0.5 * (H - 1))
 
 
-def _call_fwd(img_t, cx, cy, rows, interpret, precision, mm_dtype):
-    B, H, C, W = img_t.shape
+def _call_fwd(img_t, cx, cy, rows, win, interpret, precision, mm_dtype):
+    B, H, CP, W = img_t.shape
     NT, TN = H // rows, rows * W
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, H, W, C, TN,
+        functools.partial(_fwd_kernel, H, W, CP, TN, win,
                           jax.lax.Precision(precision), jnp.dtype(mm_dtype)),
         grid=(B, NT),
         in_specs=[
-            pl.BlockSpec((1, H, C, W), lambda b, r: (b, 0, 0, 0),
+            pl.BlockSpec((1, H, CP, W), lambda b, r: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1, TN), lambda b, r: (b, r, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1, TN), lambda b, r: (b, r, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, C, TN), lambda b, r: (b, r, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, CP, TN), lambda b, r: (b, r, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, NT, C, TN), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((C, TN), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((B, NT, CP, TN), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((CP, TN), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
@@ -200,21 +221,21 @@ def _call_fwd(img_t, cx, cy, rows, interpret, precision, mm_dtype):
     )(img_t, cx, cy)
 
 
-def _call_bwd(img_t, cx, cy, g, rows, interpret, precision, mm_dtype):
-    B, H, C, W = img_t.shape
+def _call_bwd(img_t, cx, cy, g, rows, win, interpret, precision, mm_dtype):
+    B, H, CP, W = img_t.shape
     NT, TN = H // rows, rows * W
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, H, W, C, TN,
+        functools.partial(_bwd_kernel, H, W, CP, TN, win,
                           jax.lax.Precision(precision), jnp.dtype(mm_dtype)),
         grid=(B, NT),
         in_specs=[
-            pl.BlockSpec((1, H, C, W), lambda b, r: (b, 0, 0, 0),
+            pl.BlockSpec((1, H, CP, W), lambda b, r: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1, TN), lambda b, r: (b, r, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1, TN), lambda b, r: (b, r, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, C, TN), lambda b, r: (b, r, 0, 0),
+            pl.BlockSpec((1, 1, CP, TN), lambda b, r: (b, r, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -265,19 +286,34 @@ def _rows_for(H):
     return 1
 
 
+def _win_for(H):
+    """Static window rows per band chunk (one matmul pair per chunk)."""
+    return 16 if H >= 16 else H
+
+
+def _img_padded(img, mm_dtype):
+    """[B, H, W, C] -> [B, H, 8, W]: W on lanes, channels zero-padded to
+    one full sublane group so WIN-row merges and [CP, TN] slices are
+    tile-aligned (no Mosaic relayouts)."""
+    B, H, W, C = img.shape
+    img_t = jnp.transpose(img, (0, 1, 3, 2)).astype(jnp.dtype(mm_dtype))
+    return jnp.pad(img_t, ((0, 0), (0, 0), (0, 8 - C), (0, 0)))
+
+
 def _fwd(img, coords, interpret, precision, mm_dtype):
     B, H, W, C = img.shape
     rows = _rows_for(H)
     NT, TN = H // rows, rows * W
     cx = coords[..., 0].astype(jnp.float32).reshape(B, NT, 1, TN)
     cy = coords[..., 1].astype(jnp.float32).reshape(B, NT, 1, TN)
-    # [B, H, C, W]: W on lanes (see layout note in the module docstring)
-    img_t = jnp.transpose(img, (0, 1, 3, 2)).astype(jnp.dtype(mm_dtype))
-    out = _call_fwd(img_t, cx, cy, rows, interpret, precision, mm_dtype)
-    # [B, NT, C, rows*W] -> [B, H, W, C]
-    out = out.reshape(B, NT, C, rows, W).transpose(0, 1, 3, 4, 2)
-    # residuals: the primal image (aliases the live input; img_t is
-    # recomputed in _bwd — saving it would hold an extra copy per warp)
+    img_t = _img_padded(img, mm_dtype)
+    out = _call_fwd(img_t, cx, cy, rows, _win_for(H), interpret, precision,
+                    mm_dtype)
+    # [B, NT, 8, rows*W] -> [B, H, W, C]
+    out = out[:, :, :C].reshape(B, NT, C, rows, W).transpose(0, 1, 3, 4, 2)
+    # residuals: the primal image (aliases the live input; the padded
+    # transposed copy is recomputed in _bwd — saving it would hold an
+    # extra copy per warp)
     return out.reshape(B, H, W, C), (img, cx, cy)
 
 
@@ -286,11 +322,12 @@ def _bwd(interpret, precision, mm_dtype, res, g):
     B, H, W, C = img.shape
     rows = _rows_for(H)
     NT, TN = H // rows, rows * W
-    img_t = jnp.transpose(img, (0, 1, 3, 2)).astype(jnp.dtype(mm_dtype))
+    img_t = _img_padded(img, mm_dtype)
     g2 = g.astype(jnp.float32).reshape(B, NT, rows, W, C)
     g2 = g2.transpose(0, 1, 4, 2, 3).reshape(B, NT, C, TN)
-    dcx, dcy = _call_bwd(img_t, cx, cy, g2, rows, interpret, precision,
-                         mm_dtype)
+    g2 = jnp.pad(g2, ((0, 0), (0, 0), (0, 8 - C), (0, 0)))
+    dcx, dcy = _call_bwd(img_t, cx, cy, g2, rows, _win_for(H), interpret,
+                         precision, mm_dtype)
     dcoords = jnp.stack([dcx.reshape(B, H, W), dcy.reshape(B, H, W)],
                         axis=-1)
     return jnp.zeros((B, H, W, C), jnp.float32), dcoords
