@@ -129,14 +129,23 @@ def augment_batch(
     height: int,
     width: int,
     num_scales: int = 4,
+    color_scales: int | None = None,
 ) -> Dict:
     """Device-side replacement for MonoDataset.preprocess.
 
     frames: {frame_id: [B, H, W, 3]} full-res (already resized to
     (height, width) scale 0 by the host decode). K_full: [B, 4, 4]
     *normalised* intrinsics. Returns the standard batch dict with
-    ('color'/'color_aug', f, s) for s < num_scales and ('K'/'inv_K', s).
+    ('color'/'color_aug', f, s) for s < color_scales (default: all
+    num_scales) and ('K'/'inv_K', s) for s < num_scales.
+
+    The training step consumes only scale-0 colors (+ K at scales 0/2);
+    passing color_scales=1 skips materializing the unused image pyramids
+    (~35 MB/batch at KITTI bs 12 — they were costing device memory and,
+    on the classic loader, H2D bandwidth).
     """
+    if color_scales is None:
+        color_scales = num_scales
     B = next(iter(frames.values())).shape[0]
     factors = sample_jitter_factors(rng, B)
     flip = factors["do_flip"][:, None, None, None]
@@ -160,7 +169,7 @@ def augment_batch(
         aug = jnp.where(use_jit[:, None, None, None], jittered, img)
         aug = jnp.where(blank[:, None, None, None], 0.0, aug)
         prev_c, prev_a = img, aug
-        for s in range(num_scales):
+        for s in range(color_scales):
             h, w = height // 2 ** s, width // 2 ** s
             if s == 0:
                 cs, as_ = img, aug

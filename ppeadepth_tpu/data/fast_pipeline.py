@@ -113,9 +113,11 @@ class FastDecodePipeline:
 
 
 def prepare_batch(frames_u8: Dict, K_full, rng, height: int, width: int,
-                  num_scales: int = 4):
+                  num_scales: int = 4, color_scales=None):
     """Device-side: u8 frames -> the standard augmented batch dict.
-    jit-compatible; fold into the train step for zero host work."""
+    jit-compatible; fold into the train step for zero host work.
+    color_scales=1 skips the unused multi-scale image pyramids (the
+    training step reads only scale-0 colors; see augment_batch)."""
     import jax.numpy as jnp
 
     from .augment import augment_batch
@@ -123,4 +125,5 @@ def prepare_batch(frames_u8: Dict, K_full, rng, height: int, width: int,
     frames = {
         f: v.astype(jnp.float32) / 255.0 for f, v in frames_u8.items()
     }
-    return augment_batch(frames, K_full, rng, height, width, num_scales)
+    return augment_batch(frames, K_full, rng, height, width, num_scales,
+                         color_scales)

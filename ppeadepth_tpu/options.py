@@ -159,6 +159,12 @@ class Config:
             )
         assert cfg.height % 32 == 0, "'height' must be a multiple of 32"
         assert cfg.width % 32 == 0, "'width' must be a multiple of 32"
+        assert cfg.cv_backend in ("auto", "lax", "mxu", "mxu_f32"), (
+            f"unknown --cv_backend {cfg.cv_backend!r}")
+        assert cfg.warp_backend in ("auto", "lax", "mxu", "mxu_exact"), (
+            f"unknown --warp_backend {cfg.warp_backend!r}")
+        assert cfg.lk_backend in ("lax", "pallas"), (
+            f"unknown --lk_backend {cfg.lk_backend!r}")
         if (cfg.freeze_teacher_epoch, cfg.freeze_teacher_step) != (150, -1):
             raise ValueError(
                 "--freeze_teacher_epoch/--freeze_teacher_step are dead "

@@ -207,15 +207,27 @@ class Trainer:
         if opt.fast_pipeline:
             from ..data.fast_pipeline import prepare_batch
 
+            # color_scales=1: the train step reads only scale-0 colors;
+            # the pyramids would cost ~35 MB/batch of device memory
             prepare = jax.jit(
                 lambda fr, k, r: prepare_batch(
-                    fr, k, r, opt.height, opt.width, 4
+                    fr, k, r, opt.height, opt.width, 4, 1
                 )
             )
         start_epoch = step // max(self.steps_per_epoch, 1)
         for epoch in range(start_epoch, opt.num_epochs):
             self.train_loader.set_epoch(epoch)
-            it = D.device_prefetch(iter(self.train_loader), self.mesh)
+            it = iter(self.train_loader)
+            if prepare is None:
+                # classic loader: drop the host-built color pyramids the
+                # step never reads (scale >= 1) before H2D transfer
+                it = (
+                    {k: v for k, v in b.items()
+                     if not (isinstance(k, tuple) and k[0] in
+                             ("color", "color_aug") and k[2] > 0)}
+                    for b in it
+                )
+            it = D.device_prefetch(it, self.mesh)
             for batch in it:
                 rng = jax.random.fold_in(self.base_rng, step)
                 if prepare is not None:
