@@ -85,3 +85,23 @@ def test_flip_applied_per_item(rng):
     assert all(per_item)
     assert any(np.allclose(col[i], flipped[i]) and not
                np.allclose(col[i], orig[i]) for i in range(B))
+
+
+def test_color_scales_trim(rng):
+    """color_scales=1 (the train-batch memory trim) must emit only the
+    scale-0 colors while keeping K/inv_K at every scale, and match the
+    full-pyramid output at scale 0 exactly."""
+    B, H, W = 4, 32, 64
+    img = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
+    K = jnp.broadcast_to(jnp.eye(4), (B, 4, 4))
+    key = jax.random.PRNGKey(2)
+    full = A.augment_batch({0: img}, K, key, H, W, 4)
+    trim = A.augment_batch({0: img}, K, key, H, W, 4, color_scales=1)
+    for s in range(4):
+        assert ("K", s) in trim and ("inv_K", s) in trim
+    assert ("color", 0, 0) in trim and ("color", 0, 1) not in trim
+    assert ("color_aug", 0, 1) not in trim
+    np.testing.assert_array_equal(
+        np.asarray(trim[("color_aug", 0, 0)]),
+        np.asarray(full[("color_aug", 0, 0)]),
+    )
