@@ -59,6 +59,9 @@ def main():
     p.add_argument("--fast_pipeline", action="store_true")
     p.add_argument("--remat", action="store_true")
     p.add_argument("--remat_loss", action="store_true")
+    p.add_argument("--synthetic", action="store_true",
+                   help="drive the sharded step on one fixed device batch "
+                        "(no loader) — isolates device rate from host")
     p.add_argument("--height", type=int, default=192)
     p.add_argument("--width", type=int, default=640)
     args = p.parse_args()
@@ -102,6 +105,38 @@ def main():
     )
     trainer = Trainer(opt, splits_dir=os.path.join(tmp, "splits"))
     print(f"steps_per_epoch={trainer.steps_per_epoch}", file=sys.stderr)
+
+    if args.synthetic:
+        import jax
+        from ppeadepth_tpu.train.trainer import synthetic_batch
+        from ppeadepth_tpu.parallel import mesh as mesh_lib
+
+        batch = synthetic_batch(opt, args.batch)
+        batch = {k: v for k, v in batch.items()
+                 if not (isinstance(k, tuple) and k[0] in
+                         ("color", "color_aug") and k[2] > 0)}
+        batch = mesh_lib.shard_batch(batch, trainer.mesh)
+        state = trainer.state
+        rng = jax.random.PRNGKey(0)
+        print("compiling sharded step...", file=sys.stderr)
+        state, m = trainer.step_fn(state, batch, rng)
+        # block_until_ready resolves EARLY through the axon tunnel
+        # (CLAUDE.md); an actual D2H fetch is the only true sync
+        float(jax.device_get(m["loss"]))
+        t0 = time.perf_counter()
+        for i in range(args.steps):
+            state, m = trainer.step_fn(state, batch,
+                                       jax.random.fold_in(rng, i))
+        loss = float(jax.device_get(m["loss"]))
+        dt = time.perf_counter() - t0
+        print(f"final loss {loss:.4f}", file=sys.stderr)
+        print(json.dumps({
+            "metric": "train_imgs_per_s_sharded_device",
+            "value": round(args.steps * args.batch / dt, 2),
+            "unit": "imgs/s/chip", "steps": args.steps,
+            "batch": args.batch, "wallclock_s": round(dt, 1),
+        }))
+        return
 
     # capture the trainer's own 50-step imgs/s prints
     t0 = time.perf_counter()
