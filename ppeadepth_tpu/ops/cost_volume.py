@@ -219,16 +219,25 @@ def plane_sweep_cost_volume(
         lk_img = lookup_feats[:, f]
         if backend in ("mxu", "mxu_f32"):
             from ..kernels.cost_volume_mxu import frame_diffs_batch
+            from ..parallel.mesh import shard_batch_call
 
             kw = (
                 dict(precision="highest", compute_dtype="float32",
                      rows_per_tile=2)
                 if backend == "mxu_f32" else {}
             )
-            diffs = frame_diffs_batch(
-                cur_flat, lk_img, A, t, depth_bins,
-                interpret=jax.default_backend() != "tpu", **kw,
-            )  # [B, D, H, W]
+            # per-shard dispatch over an ambient dp mesh: GSPMD would
+            # otherwise replicate the custom call (all-gathering the
+            # batch) — bins stay replicated
+            fd = shard_batch_call(
+                lambda cf, li, a, tt, b: frame_diffs_batch(
+                    cf, li, a, tt, b,
+                    interpret=jax.default_backend() != "tpu", **kw,
+                ),
+                in_specs=(True, True, True, True, False),
+                out_specs=True,
+            )
+            diffs = fd(cur_flat, lk_img, A, t, depth_bins)  # [B, D, H, W]
         else:
             diffs = jax.vmap(
                 lambda cf, lf, a, tt: _frame_diffs(

@@ -22,12 +22,28 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+_ACTIVE_MESH: Optional[Mesh] = None
+
+
+def set_active_mesh(mesh: Optional[Mesh]):
+    """Record the mesh batch-parallel pallas kernels shard over
+    (shard_batch_call). make_mesh sets it automatically."""
+    global _ACTIVE_MESH
+    _ACTIVE_MESH = mesh
+
+
+def active_mesh() -> Optional[Mesh]:
+    return _ACTIVE_MESH
+
+
 def make_mesh(num_devices: Optional[int] = None, devices=None) -> Mesh:
     if devices is None:
         devices = jax.devices()
     if num_devices is not None:
         devices = devices[:num_devices]
-    return Mesh(np.asarray(devices), ("dp",))
+    mesh = Mesh(np.asarray(devices), ("dp",))
+    set_active_mesh(mesh)
+    return mesh
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -59,3 +75,42 @@ def replicate(tree, mesh: Mesh):
     """Replicate a pytree (params / train state) across the mesh."""
     s = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
+
+
+def shard_batch_call(fn, in_specs, out_specs, axis: str = "dp"):
+    """Run a batch-parallel function per-shard over the ambient mesh.
+
+    GSPMD has no partitioning rule for pallas `tpu_custom_call`s: under a
+    jit with dp-sharded inputs it fully REPLICATES them — inserting
+    all-gathers of the operands around every kernel invocation (measured:
+    22 all-gathers around one warp call on an 8-device mesh). Wrapping
+    the call in `jax.shard_map` over the abstract mesh that jit makes
+    ambient dispatches the kernel per shard with local batches instead.
+
+    in_specs/out_specs use False for replicated operands (mapped to
+    P()). Uses the active mesh recorded by make_mesh (plain jit does not
+    make an abstract mesh ambient in this JAX version); falls back to a
+    direct call when there is no active mesh or the axis is absent /
+    size-1 (single-chip paths, bench/profile jits, CPU tests).
+    Differentiable: shard_map composes with custom_vjp'd fns.
+    """
+    mesh = active_mesh()
+    if (
+        mesh is None
+        or axis not in mesh.axis_names
+        or mesh.shape[axis] == 1
+    ):
+        return fn
+
+    def to_spec(s):
+        return P(axis) if s else P()
+
+    return jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=tuple(to_spec(s) for s in in_specs),
+        out_specs=jax.tree_util.tree_map(
+            to_spec, out_specs, is_leaf=lambda x: isinstance(x, bool)
+        ),
+        check_vma=False,
+    )

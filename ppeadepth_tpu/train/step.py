@@ -34,6 +34,7 @@ from ..core import losses as L
 from ..core.geometry import disp_to_depth, reproject_coords
 from ..kernels import warp_mxu
 from ..options import Config
+from ..parallel import mesh as mesh_lib
 from ..ops.resize import resize_bilinear
 from ..ops.sampling import grid_sample
 from . import freeze
@@ -91,11 +92,17 @@ def _warp_frames(inputs, depth, poses, opt: Config, is_multi: bool):
         color = inputs[("color", f, 0)]
         if backend == "lax":
             warped[f] = grid_sample(color, coords, "border")
-        elif backend == "mxu_exact":
-            warped[f] = warp_mxu.grid_sample_border_mxu(
-                color, coords, False, "highest", "float32")
-        else:  # 'mxu': exact pixel selection, bf16 image operand
-            warped[f] = warp_mxu.grid_sample_border_mxu(color, coords)
+        else:
+            # per-shard dispatch over an ambient dp mesh (GSPMD would
+            # replicate the pallas call and all-gather the batch)
+            if backend == "mxu_exact":
+                fn = lambda i, c: warp_mxu.grid_sample_border_mxu(
+                    i, c, False, "highest", "float32")  # noqa: E731
+            else:  # 'mxu': exact pixel selection, bf16 image operand
+                fn = lambda i, c: warp_mxu.grid_sample_border_mxu(i, c)  # noqa: E731
+            sampler = mesh_lib.shard_batch_call(
+                fn, in_specs=(True, True), out_specs=True)
+            warped[f] = sampler(color, coords)
     return warped
 
 
