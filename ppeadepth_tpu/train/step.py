@@ -184,8 +184,16 @@ def _branch_losses(inputs, outputs, opt: Config, noise_rng, is_multi: bool):
     return loss, aux, depth
 
 
-def make_train_step(model, opt: Config, tx, donate: bool = True):
-    """Build the jitted train step closure."""
+def make_train_step(model, opt: Config, tx, donate: bool = True,
+                    donate_batch: bool = False):
+    """Build the jitted train step closure.
+
+    donate_batch additionally donates the batch buffers (~100 MB of
+    full-res frames at bs 12) for reuse as temps during the step — only
+    safe when every call gets a FRESH batch (the trainer's loader loop;
+    profile tools and overfit tests re-feed the same batch and must not
+    set it, or the second call hits deleted buffers).
+    """
 
     freeze_tp = opt.freeze_teacher_and_pose
     update_bins = (not freeze_tp) and (not opt.notadabins)
@@ -292,4 +300,6 @@ def make_train_step(model, opt: Config, tx, donate: bool = True):
         return new_state, metrics
 
     donate_argnums = (0,) if donate else ()
+    if donate and donate_batch:
+        donate_argnums = (0, 1)
     return jax.jit(train_step, donate_argnums=donate_argnums)

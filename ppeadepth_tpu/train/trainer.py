@@ -139,7 +139,10 @@ class Trainer:
             self.load_model(opt.load_weights_folder)
 
         self.state = mesh_lib.replicate(self.state, self.mesh)
-        self.step_fn = make_train_step(self.model, opt, self.tx)
+        # the loader loop feeds a fresh batch every step, so its buffers
+        # are donated too (make_train_step.donate_batch)
+        self.step_fn = make_train_step(self.model, opt, self.tx,
+                                       donate_batch=True)
         self.base_rng = jax.random.PRNGKey(opt.pytorch_random_seed or 0)
         self._metrics_file = open(
             os.path.join(self.log_path, "metrics.jsonl"), "a"

@@ -118,15 +118,20 @@ def main():
         batch = mesh_lib.shard_batch(batch, trainer.mesh)
         state = trainer.state
         rng = jax.random.PRNGKey(0)
+        # trainer.step_fn donates the batch (fresh per step in the real
+        # loop); this loop re-feeds ONE batch, so build a non-batch-
+        # donating step
+        from ppeadepth_tpu.train.step import make_train_step
+        step_fn = make_train_step(trainer.model, trainer.opt, trainer.tx)
         print("compiling sharded step...", file=sys.stderr)
-        state, m = trainer.step_fn(state, batch, rng)
+        state, m = step_fn(state, batch, rng)
         # block_until_ready resolves EARLY through the axon tunnel
         # (CLAUDE.md); an actual D2H fetch is the only true sync
         float(jax.device_get(m["loss"]))
         t0 = time.perf_counter()
         for i in range(args.steps):
-            state, m = trainer.step_fn(state, batch,
-                                       jax.random.fold_in(rng, i))
+            state, m = step_fn(state, batch,
+                               jax.random.fold_in(rng, i))
         loss = float(jax.device_get(m["loss"]))
         dt = time.perf_counter() - t0
         print(f"final loss {loss:.4f}", file=sys.stderr)
