@@ -15,6 +15,7 @@ Multi-host: call `jax.distributed.initialize()` before building the mesh;
 
 from __future__ import annotations
 
+import contextlib
 from typing import Optional
 
 import jax
@@ -34,6 +35,20 @@ def set_active_mesh(mesh: Optional[Mesh]):
 
 def active_mesh() -> Optional[Mesh]:
     return _ACTIVE_MESH
+
+
+@contextlib.contextmanager
+def using_mesh(mesh: Optional[Mesh]):
+    """Scope the active mesh: restores the previous one on exit, so
+    library/tool callers can't leak a stale mesh into later jits
+    (shard_batch_call also falls back to a direct call when the batch
+    isn't divisible by the recorded axis, as a second line of defense)."""
+    prev = active_mesh()
+    set_active_mesh(mesh)
+    try:
+        yield mesh
+    finally:
+        set_active_mesh(prev)
 
 
 def make_mesh(num_devices: Optional[int] = None, devices=None) -> Mesh:
@@ -105,7 +120,7 @@ def shard_batch_call(fn, in_specs, out_specs, axis: str = "dp"):
     def to_spec(s):
         return P(axis) if s else P()
 
-    return jax.shard_map(
+    sharded = jax.shard_map(
         fn,
         mesh=mesh,
         in_specs=tuple(to_spec(s) for s in in_specs),
@@ -114,3 +129,15 @@ def shard_batch_call(fn, in_specs, out_specs, axis: str = "dp"):
         ),
         check_vma=False,
     )
+    n = mesh.shape[axis]
+
+    def call(*args):
+        # a stale active mesh (recorded by an earlier make_mesh, batch not
+        # divisible by its axis) must not fail shard_map's divisibility
+        # check in an unrelated later jit — run the kernel directly then
+        for a, s in zip(args, in_specs):
+            if s and a.shape[0] % n != 0:
+                return fn(*args)
+        return sharded(*args)
+
+    return call
