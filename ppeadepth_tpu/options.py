@@ -129,14 +129,23 @@ class Config:
 
     # tpu-native extras (not in the reference)
     compute_dtype: str = "float32"  # set "bfloat16" for bf16 compute / f32 params
+    # stochastic-depth rate for both RepLKNet encoders; the reference
+    # hardcodes 0.3 (repdepth.py:95,106). Exposed so deterministic
+    # cross-implementation gradient tests can zero it.
+    drop_path_rate: float = 0.3
     lk_backend: str = "lax"          # 'lax' | 'pallas'
     bin_chunk: int = 8  # cost-volume bins per gather chunk (VMEM/HBM bound)
     cv_backend: str = "auto"  # plane-sweep: auto | lax | mxu | mxu_f32
     warp_backend: str = "auto"  # photometric warp: auto | lax | mxu | mxu_exact
+    # fused ConvFFN deploy kernel (kernels/ffn_mxu.py): 'auto' enables it
+    # only for merged-form bf16 inference on TPU (bench/serve path)
+    ffn_backend: str = "auto"
     # memory escape hatch: recompute scale-0 loss intermediates in bwd.
-    # Costs ~200 ms/step at bs 12 (XLA stops fusing the SSIM pools across
-    # the checkpoint boundary) — only enable when HBM-bound; the default
-    # mxu-warp step fits bs 12 on 16 GB without it (BENCHMARKS.md).
+    # The BARE profiled step fits bs 12 on 16 GB without it, but the full
+    # Trainer does not (device-prefetched next batch + sharded-step buffer
+    # assignment eat the last ~200 MB) — the Trainer auto-enables it at
+    # per-device batch >= 12 with --use_checkpoint off (BENCHMARKS.md).
+    # Cost: 91 ms in the bare step; ~0 under the SPMD-partitioned compile.
     remat_loss: bool = False
     fast_pipeline: bool = False      # native decode + device-side augment
     merged: bool = False             # deploy: reparam-merged LK convs
@@ -145,24 +154,36 @@ class Config:
         return dataclasses.replace(self, **kw)
 
     def with_mode_presets(self) -> "Config":
-        """Runtime mode presets (trainer.py:90-103)."""
+        """Runtime mode presets (trainer.py:90-103).
+
+        Deviation from the reference: the reference unconditionally
+        forces 192x512 (cs) / 384x640 (ddad); here an EXPLICIT
+        --height/--width survives the preset (needed for reduced-size
+        tests; the reference's resolutions remain the defaults).
+        """
         cfg = self
+        default_hw = (Config.height, Config.width)
         if cfg.train_cs:
             cfg = cfg.replace(
-                dataset="cityscapes_preprocessed", height=192, width=512,
+                dataset="cityscapes_preprocessed",
                 split="cityscapes_preprocessed", eval_split="cityscapes",
             )
+            if (cfg.height, cfg.width) == default_hw:
+                cfg = cfg.replace(height=192, width=512)
         if cfg.ddad:
             cfg = cfg.replace(
-                dataset="ddad", height=384, width=640, split="ddad",
-                eval_split="ddad",
+                dataset="ddad", split="ddad", eval_split="ddad",
             )
+            if (cfg.height, cfg.width) == default_hw:
+                cfg = cfg.replace(height=384, width=640)
         assert cfg.height % 32 == 0, "'height' must be a multiple of 32"
         assert cfg.width % 32 == 0, "'width' must be a multiple of 32"
         assert cfg.cv_backend in ("auto", "lax", "mxu", "mxu_f32"), (
             f"unknown --cv_backend {cfg.cv_backend!r}")
         assert cfg.warp_backend in ("auto", "lax", "mxu", "mxu_exact"), (
             f"unknown --warp_backend {cfg.warp_backend!r}")
+        assert cfg.ffn_backend in ("auto", "lax", "mxu"), (
+            f"unknown --ffn_backend {cfg.ffn_backend!r}")
         assert cfg.lk_backend in ("lax", "pallas"), (
             f"unknown --lk_backend {cfg.lk_backend!r}")
         if (cfg.freeze_teacher_epoch, cfg.freeze_teacher_step) != (150, -1):

@@ -81,6 +81,10 @@ def _warp_frames(inputs, depth, poses, opt: Config, is_multi: bool):
     the XLA gather path (exact oracle).
     """
     backend = warp_mxu.resolve_warp_backend(opt.warp_backend)
+    # explicit --warp_backend mxu/mxu_exact on a non-TPU backend runs the
+    # pallas kernel in interpret mode (mirrors the cv_backend path) so CPU
+    # tests/debug of the kernel semantics work without a chip
+    interp = jax.default_backend() != "tpu"
     K = inputs[("K", 0)]
     invK = inputs[("inv_K", 0)]
     warped = {}
@@ -97,9 +101,10 @@ def _warp_frames(inputs, depth, poses, opt: Config, is_multi: bool):
             # replicate the pallas call and all-gather the batch)
             if backend == "mxu_exact":
                 fn = lambda i, c: warp_mxu.grid_sample_border_mxu(
-                    i, c, False, "highest", "float32")  # noqa: E731
+                    i, c, interp, "highest", "float32")  # noqa: E731
             else:  # 'mxu': exact pixel selection, bf16 image operand
-                fn = lambda i, c: warp_mxu.grid_sample_border_mxu(i, c)  # noqa: E731
+                fn = lambda i, c: warp_mxu.grid_sample_border_mxu(
+                    i, c, interp)  # noqa: E731
             sampler = mesh_lib.shard_batch_call(
                 fn, in_specs=(True, True), out_specs=True)
             warped[f] = sampler(color, coords)
@@ -184,24 +189,22 @@ def _branch_losses(inputs, outputs, opt: Config, noise_rng, is_multi: bool):
     return loss, aux, depth
 
 
-def make_train_step(model, opt: Config, tx, donate: bool = True,
-                    donate_batch: bool = False):
-    """Build the jitted train step closure.
+def make_loss_fn(model, opt: Config):
+    """Build the train objective: full forward (both branches) + losses.
 
-    donate_batch additionally donates the batch buffers (~100 MB of
-    full-res frames at bs 12) for reuse as temps during the step — only
-    safe when every call gets a FRESH batch (the trainer's loader loop;
-    profile tools and overfit tests re-feed the same batch and must not
-    set it, or the second call hits deleted buffers).
+    Returns loss_fn(trainable, frozen, batch_stats, batch, min_bin,
+    max_bin, rng) -> (total, (new_batch_stats, metrics, mono_depth)).
+    Split out of make_train_step so the reference gradient-parity test
+    (tests/test_ref_loss_grad.py) can jax.grad it directly against torch
+    autograd on the reference's model + compute_losses.
     """
-
     freeze_tp = opt.freeze_teacher_and_pose
-    update_bins = (not freeze_tp) and (not opt.notadabins)
 
     # Remat the scale-0 loss section: its full-res intermediates (4 warps,
-    # 6 SSIM pyramids, masks) dominate live HBM but cost only a few ms to
-    # recompute in the backward pass. Without this, the MXU-warp train
-    # step OOMs at bs 12 no-remat on a 16 GB v5e.
+    # 6 SSIM pyramids, masks) dominate live HBM but cost little to
+    # recompute in the backward pass. The BARE step fits bs 12 on a 16 GB
+    # v5e without it; the full Trainer (prefetched next batch + sharded
+    # buffer assignment) does not — Trainer auto-enables it there.
     # (outputs mixes tuple and str keys, which pytree dict-key sorting
     # under jax.checkpoint rejects — split and re-merge at the boundary)
     def _branch_split(inputs, outs_t, outs_s, noise_rng, is_multi):
@@ -264,6 +267,23 @@ def make_train_step(model, opt: Config, tx, donate: bool = True,
             "multi/consistency": multi_aux["consistency_loss"],
         }
         return total, (mutated["batch_stats"], metrics, mono_depth)
+
+    return loss_fn
+
+
+def make_train_step(model, opt: Config, tx, donate: bool = True,
+                    donate_batch: bool = False):
+    """Build the jitted train step closure.
+
+    donate_batch additionally donates the batch buffers (~100 MB of
+    full-res frames at bs 12) for reuse as temps during the step — only
+    safe when every call gets a FRESH batch (the trainer's loader loop;
+    profile tools and overfit tests re-feed the same batch and must not
+    set it, or the second call hits deleted buffers).
+    """
+    freeze_tp = opt.freeze_teacher_and_pose
+    update_bins = (not freeze_tp) and (not opt.notadabins)
+    loss_fn = make_loss_fn(model, opt)
 
     def train_step(state: TrainState, batch, rng):
         grad_fn = jax.value_and_grad(loss_fn, argnums=0, has_aux=True)

@@ -205,6 +205,52 @@ def _install_torchvision():
     sys.modules["torchvision.models.resnet"] = resnet_mod
 
 
+def _install_stub(name, **attrs):
+    if name in sys.modules:
+        return
+    import importlib.machinery
+
+    mod = types.ModuleType(name)
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    sys.modules[name] = mod
+    parent, _, child = name.rpartition(".")
+    if parent and parent in sys.modules:
+        setattr(sys.modules[parent], child, mod)
+
+
+def _install_trainer_deps():
+    """Stand-ins for trainer.py's module-level imports that are absent in
+    this image and unused by the unbound loss methods we drive: wandb
+    (logging), torchmetrics.Metric (DepthBins base), skimage.transform
+    (dataset GT resize), torchvision.transforms (dataset aug)."""
+    _install_stub("wandb", log=lambda *a, **k: None,
+                  init=lambda *a, **k: None)
+
+    if "torchmetrics" not in sys.modules:
+        class Metric:
+            full_state_update = False
+
+            def __init__(self, *a, **k):
+                pass
+
+            def add_state(self, name, default=None, dist_reduce_fx=None):
+                setattr(self, name, default)
+
+        _install_stub("torchmetrics", Metric=Metric)
+
+    _install_stub("skimage")
+    _install_stub("skimage.transform", resize=None)
+    sys.modules["skimage"].transform = sys.modules["skimage.transform"]
+
+    # torchvision.transforms: datasets only touch it at runtime
+    tv = sys.modules.get("torchvision")
+    if tv is not None and not hasattr(tv, "transforms"):
+        _install_stub("torchvision.transforms")
+        tv.transforms = sys.modules["torchvision.transforms"]
+
+
 def load_reference():
     """Install the shims and return the reference `ppeadepth.networks`."""
     _install_timm()
@@ -214,3 +260,18 @@ def load_reference():
     import ppeadepth.networks as ref_networks  # noqa: E402
 
     return ref_networks
+
+
+def load_reference_trainer():
+    """Install the shims and return the reference `ppeadepth.trainer`
+    MODULE (not an instance — Trainer() needs accelerate/datasets/real
+    data). Its loss/warp methods (generate_images_pred, compute_losses,
+    compute_loss_masks, compute_matching_mask, compute_reprojection_loss;
+    trainer.py:859-1160) are plain methods needing only opt /
+    backproject_depth / project_3d / ssim, so tests drive them unbound on
+    a SimpleNamespace."""
+    load_reference()
+    _install_trainer_deps()
+    import ppeadepth.trainer as ref_trainer  # noqa: E402
+
+    return ref_trainer
