@@ -53,7 +53,12 @@ def synthetic_batch(opt: Config, B: int):
 
 
 class Trainer:
-    def __init__(self, opt: Config, splits_dir: str = "./splits"):
+    def __init__(self, opt: Config, splits_dir: str = "./splits",
+                 donate_batch: bool = True):
+        """donate_batch=True donates the batch buffers to the jitted step
+        (the loader loop feeds a FRESH batch every step). Pass False when
+        reusing trainer.step_fn with a re-fed batch (overfit/debug loops)
+        — a donated batch's buffers are deleted after the first call."""
         self.opt = opt = opt.with_mode_presets()
         self.splits_dir = splits_dir
         self.log_path = os.path.join(opt.log_dir, opt.name)
@@ -64,6 +69,19 @@ class Trainer:
         assert opt.batch_size % n_dev == 0 or n_dev == 1, (
             f"batch_size {opt.batch_size} not divisible by {n_dev} devices"
         )
+
+        # Measured (BENCHMARKS.md): the BARE no-remat step fits bs 12 on a
+        # 16 GB v5e, but the full Trainer (device-prefetched next batch +
+        # sharded buffer assignment) OOMs there; checkpointing the loss
+        # section closes it and costs ~0 under the SPMD-partitioned
+        # compile. Auto-enable so the documented default commands run.
+        if (jax.default_backend() == "tpu" and not opt.use_checkpoint
+                and not opt.remat_loss
+                and opt.batch_size // max(n_dev, 1) >= 12):
+            print("[trainer] per-device batch >= 12 without --use_checkpoint:"
+                  " auto-enabling --remat_loss (full-trainer OOM guard;"
+                  " pass --use_checkpoint to opt out)")
+            self.opt = opt = opt.replace(remat_loss=True)
 
         # datasets
         frames_to_load = list(opt.frame_ids)
@@ -139,10 +157,8 @@ class Trainer:
             self.load_model(opt.load_weights_folder)
 
         self.state = mesh_lib.replicate(self.state, self.mesh)
-        # the loader loop feeds a fresh batch every step, so its buffers
-        # are donated too (make_train_step.donate_batch)
         self.step_fn = make_train_step(self.model, opt, self.tx,
-                                       donate_batch=True)
+                                       donate_batch=donate_batch)
         self.base_rng = jax.random.PRNGKey(opt.pytorch_random_seed or 0)
         self._metrics_file = open(
             os.path.join(self.log_path, "metrics.jsonl"), "a"
