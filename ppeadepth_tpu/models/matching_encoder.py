@@ -47,11 +47,13 @@ class RepLKMatching(nn.Module):
     bin_chunk: int = 16
     cv_backend: str = "auto"  # plane-sweep backend (ops/cost_volume.py)
     dtype: object = None
+    drop_path_rate: float = 0.3  # reference hardcodes 0.3 (repdepth.py:95)
+    ffn_backend: str = "lax"
 
     def setup(self):
         self.replk = RepLKNet(
             rep_size=self.rep_size,
-            drop_path_rate=0.3,
+            drop_path_rate=self.drop_path_rate,
             use_checkpoint=self.use_checkpoint,
             adpt_test=self.adpt_test,
             g_blk=self.g_blk,
@@ -60,6 +62,7 @@ class RepLKMatching(nn.Module):
             trans_adpt=self.trans_adpt,
             input_adpt=self.input_adpt,
             merged=self.merged,
+            ffn_backend=self.ffn_backend,
             dtype=self.dtype,
         )
         # Conv3x3(C0 + D -> C0) + ReLU; plain conv with bias, no BN

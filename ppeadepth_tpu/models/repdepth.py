@@ -66,6 +66,8 @@ class RepDepth(nn.Module):
             cv_backend=getattr(opt, "cv_backend", "auto"),
             dtype=dtype,
             merged=opt.merged,
+            drop_path_rate=opt.drop_path_rate,
+            ffn_backend=getattr(opt, "ffn_backend", "auto"),
         )
         self.depth = DepthDecoderV2(
             opt.num_ch_enc, dc=opt.dc, dec_id=opt.dec_id,
@@ -75,7 +77,7 @@ class RepDepth(nn.Module):
 
         self.mono_encoder = RepLKNet(
             rep_size=opt.rep_size,
-            drop_path_rate=0.3,
+            drop_path_rate=opt.drop_path_rate,
             use_checkpoint=opt.use_checkpoint,
             adpt_test=adpt,
             g_blk=opt.g_blk,
@@ -85,6 +87,7 @@ class RepDepth(nn.Module):
             input_adpt=opt.mono_input,
             dtype=dtype,
             merged=opt.merged,
+            ffn_backend=getattr(opt, "ffn_backend", "auto"),
         )
         self.mono_depth = DepthDecoderV2(
             opt.num_ch_enc, dc=opt.dc, dec_id=opt.dec_id,

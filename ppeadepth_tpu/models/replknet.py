@@ -29,6 +29,7 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 import flax.linen as nn
+import jax
 import numpy as np
 
 from .adapters import BAdapter, ChannelAdapter, InputAdapter
@@ -145,10 +146,30 @@ class ConvFFN(nn.Module):
     drop_path: float
     adpt_test: int = -1
     g_ffn: float = 1.0
+    merged: bool = False
+    ffn_backend: str = "lax"  # 'lax' | 'mxu' (fused deploy kernel)
     dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # Fused MXU inference path (kernels/ffn_mxu.py): BN-folded
+        # matmul pair + adapter in one pallas call, 4.5x over XLA's
+        # ConvFFN fusion on v5e (BENCHMARKS.md round 3). Deploy-only:
+        # resolve_ffn_backend gates on merged+TPU+bf16; init and train
+        # always take the exact lax path below (which defines params).
+        if (not train and not self.is_initializing()
+                and self.ffn_backend != "lax"):
+            from ..kernels import ffn_mxu
+
+            backend = ffn_mxu.resolve_ffn_backend(
+                self.ffn_backend, self.merged, self.dtype or x.dtype)
+            if backend == "mxu":
+                p = self.variables["params"]
+                s = self.variables["batch_stats"]
+                folded = ffn_mxu.fold_ffn_params(p, s, g_ffn=self.g_ffn)
+                return ffn_mxu.ffn_block_apply(
+                    x, folded, interpret=jax.default_backend() != "tpu")
+
         out = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, name="preffn_bn",
@@ -198,6 +219,7 @@ class RepLKNetStage(nn.Module):
     use_checkpoint: bool = False
     norm_intermediate: bool = False
     merged: bool = False
+    ffn_backend: str = "lax"
     dtype: Optional[object] = None
 
     def setup(self):
@@ -231,6 +253,8 @@ class RepLKNetStage(nn.Module):
                     dp,
                     adpt_test=adpt_c,
                     g_ffn=self.g_ffn,
+                    merged=self.merged,
+                    ffn_backend=self.ffn_backend,
                     dtype=self.dtype,
                 )
             )
@@ -278,6 +302,7 @@ class RepLKNet(nn.Module):
     num_input_images: int = 1
     use_checkpoint: bool = False
     merged: bool = False
+    ffn_backend: str = "lax"
     norm_intermediate: bool = False
     # adapter config; adpt_test < 0 disables adapters entirely
     adpt_test: int = -1
@@ -332,6 +357,7 @@ class RepLKNet(nn.Module):
                     use_checkpoint=self.use_checkpoint,
                     norm_intermediate=self.norm_intermediate,
                     merged=self.merged,
+                    ffn_backend=self.ffn_backend,
                     dtype=self.dtype,
                 )
             )

@@ -21,6 +21,8 @@ def main():
     p.add_argument("--height", type=int, default=192)
     p.add_argument("--width", type=int, default=640)
     p.add_argument("--mono_only", action="store_true")
+    p.add_argument("--merged", action="store_true",
+                   help="with --mono_only: deploy (reparam-merged) form")
     args = p.parse_args()
 
     import jax
@@ -68,9 +70,22 @@ def main():
     )()
 
     if args.mono_only:
+        img0 = batch[("color", 0, 0)]
+        if args.merged:
+            from ppeadepth_tpu.ckpt.deploy import structural_reparam
+
+            mp, ms = structural_reparam(
+                variables["params"], variables["batch_stats"])
+            variables = {"params": mp, "batch_stats": ms}
+            model = RepDepth(opt.replace(merged=True))
+        if args.dtype == "bfloat16":
+            variables = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16)
+                if a.dtype == jnp.float32 else a, variables)
+            img0 = img0.astype(jnp.bfloat16)
         fn = jax.jit(lambda v, img: model.apply(
             v, img, False, method=RepDepth.forward_mono)[("disp", 0)])
-        lowered = fn.lower(variables, batch[("color", 0, 0)])
+        lowered = fn.lower(variables, img0)
     else:
         tx = schedule.make_optimizer(opt.learning_rate, steps_per_epoch=1000)
         state = create_train_state(model, variables, opt, tx)

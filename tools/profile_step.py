@@ -37,6 +37,9 @@ def main():
     p.add_argument("--top", type=int, default=25)
     p.add_argument("--mono_only", action="store_true",
                    help="profile the teacher forward instead")
+    p.add_argument("--merged", action="store_true",
+                   help="with --mono_only: structural-reparam deploy form "
+                        "(the bench.py configuration)")
     args = p.parse_args()
 
     import jax
@@ -87,11 +90,25 @@ def main():
     )()
 
     if args.mono_only:
+        if args.merged:
+            from ppeadepth_tpu.ckpt.deploy import structural_reparam
+
+            mp, ms = structural_reparam(
+                variables["params"], variables["batch_stats"])
+            variables = {"params": mp, "batch_stats": ms}
+            model = RepDepth(opt.replace(merged=True))
+        if args.dtype == "bfloat16":
+            variables = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16)
+                if a.dtype == jnp.float32 else a, variables)
         fwd = jax.jit(lambda v, img: model.apply(
             v, img, False, method=RepDepth.forward_mono)[("disp", 0)])
+        img0 = batch[("color", 0, 0)]
+        if args.dtype == "bfloat16":
+            img0 = img0.astype(jnp.bfloat16)  # bench.py casts inputs too
 
         def run(i, carry):
-            return carry, fwd(variables, batch[("color", 0, 0)])
+            return carry, fwd(variables, img0)
         carry = None
         print("compiling teacher forward...", file=sys.stderr)
         _, out = run(0, carry)
