@@ -148,14 +148,83 @@ def main():
         dt = float(np.median(times))
     fps = B / dt
 
-    prev = _previous_value()
-    vs = fps / prev if prev else 1.0
-    print(json.dumps({
+    rec = {
         "metric": "depth_inference_fps_per_chip_640x192_replknet31b_adapter",
         "value": round(fps, 2),
         "unit": "fps/chip",
-        "vs_baseline": round(vs, 4),
-    }))
+        "vs_baseline": round(fps / _previous_value(), 4)
+        if _previous_value() else 1.0,
+    }
+
+    # secondary: training throughput (the round-2/3 optimization target),
+    # measured on the bare measured-fastest step (bs 12, bf16, no remat;
+    # BENCHMARKS.md). Best-effort — never fails the primary metric.
+    if os.environ.get("PPEA_BENCH_TRAIN", "1") != "0":
+        try:
+            rec.update(_train_step_bench())
+        except Exception as e:  # noqa: BLE001
+            print(f"train-step bench skipped: {e}", file=sys.stderr)
+
+    print(json.dumps(rec))
+
+
+def _train_step_bench():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ppeadepth_tpu.models import RepDepth
+    from ppeadepth_tpu.options import Config
+    from ppeadepth_tpu.train import schedule
+    from ppeadepth_tpu.train.step import create_train_state, make_train_step
+
+    B, H, W = 12, 192, 640
+    opt = Config(adapter=True, rep_size="b", use_checkpoint=False,
+                 height=H, width=W, batch_size=B, adpt_test=4,
+                 compute_dtype="bfloat16")
+    model = RepDepth(opt)
+    rng = np.random.RandomState(0)
+    batch = {}
+    for f in (0, -1, 1):
+        img = rng.rand(B, H, W, 3).astype(np.float32)
+        batch[("color", f, 0)] = jnp.asarray(img)
+        batch[("color_aug", f, 0)] = jnp.asarray(img)
+    for s in (0, 2):
+        K = np.eye(4, dtype=np.float32)
+        sc = 2 ** s
+        K[0, 0], K[1, 1] = 0.58 * W / sc, 1.92 * H / sc
+        K[0, 2], K[1, 2] = 0.5 * W / sc, 0.5 * H / sc
+        batch[("K", s)] = jnp.asarray(np.stack([K] * B))
+        batch[("inv_K", s)] = jnp.asarray(np.stack([np.linalg.pinv(K)] * B))
+    variables = jax.jit(
+        lambda: model.init(
+            {"params": jax.random.PRNGKey(0),
+             "droppath": jax.random.PRNGKey(1),
+             "aug": jax.random.PRNGKey(2)},
+            batch, 0.1, 10.0, False,
+        )
+    )()
+    tx = schedule.make_optimizer(opt.learning_rate, steps_per_epoch=1000)
+    state = create_train_state(model, variables, opt, tx)
+    step_fn = make_train_step(model, opt, tx, donate=True)
+
+    state, metrics = step_fn(state, batch, jax.random.PRNGKey(0))  # compile
+    import jax as _jax
+    _jax.block_until_ready(metrics["loss"])
+
+    iters = 3
+    holder = {"state": state}
+
+    def run(i):
+        holder["state"], m = step_fn(holder["state"], batch,
+                                     _jax.random.PRNGKey(i + 1))
+        return m["loss"]
+
+    dt = _device_time_per_iter(run, iters)
+    if dt is None:
+        return {}
+    return {"train_step_ms": round(dt * 1e3, 1),
+            "train_step_imgs_per_s": round(12 / dt, 2)}
 
 
 if __name__ == "__main__":

@@ -260,21 +260,34 @@ def _call_bwd(img_t, cx, cy, g, rows, win, interpret, precision, mm_dtype):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _grid_sample_border_mxu_vjp(img, coords, interpret=False,
+                                precision="default", mm_dtype="bfloat16"):
+    out, _ = _fwd(img, coords, interpret, precision, mm_dtype)
+    return out
+
+
 def grid_sample_border_mxu(img, coords, interpret=False,
                            precision="default", mm_dtype="bfloat16"):
     """Drop-in for ops/sampling.grid_sample(img, coords, "border").
 
     img: [B, H, W, C] float32; coords: [B, H, W, 2] normalized [-1, 1]
-    (align_corners=True).  Returns [B, H, W, C] float32.  Differentiable
-    wrt coords only (the image is training data in every caller).
+    (align_corners=True).  Returns [B, H, W, C] float32.
+
+    Differentiable wrt COORDS ONLY: the image operand is explicitly
+    stop_gradient'ed here (every caller warps training data, which never
+    needs an image gradient; the bwd kernel computes only dcoords). A
+    future caller that must differentiate through the warped image (e.g.
+    feature warping) needs a transpose-matmul bwd kernel first — use
+    ops/sampling.grid_sample for that case.
 
     mm_dtype is the image MXU-operand dtype: "bfloat16" (default; exact
     pixel selection, image values rounded to ~8.7 bits — below the 8-bit
     source quantization) or "float32" with precision="highest" for the
     bit-exact mode used by the equivalence tests.
     """
-    out, _ = _fwd(img, coords, interpret, precision, mm_dtype)
-    return out
+    img = jax.lax.stop_gradient(img)
+    return _grid_sample_border_mxu_vjp(img, coords, interpret, precision,
+                                       mm_dtype)
 
 
 def _rows_for(H):
@@ -333,7 +346,7 @@ def _bwd(interpret, precision, mm_dtype, res, g):
     return jnp.zeros((B, H, W, C), jnp.float32), dcoords
 
 
-grid_sample_border_mxu.defvjp(
+_grid_sample_border_mxu_vjp.defvjp(
     lambda img, coords, interpret, precision, mm_dtype:
         _fwd(img, coords, interpret, precision, mm_dtype),
     _bwd,

@@ -1,0 +1,202 @@
+"""Learning-dynamics benchmark on procedural synthetic scenes.
+
+Trains the stage-1 configuration on rendered video with analytic GT
+depth (tools/synth_scene.py) and reports held-out depth metrics at init
+vs after training, plus the depth-bin EMA trajectory vs the scene's true
+depth range. This is the strongest accuracy evidence available in an
+image with no KITTI/CityScapes and no pretrained backbones: it exercises
+bin adaptation over time, automask on structured motion, pose
+convergence, and the consistency/matching masks jointly — none of which
+overfit-one-batch covers. (Counterpart of the reference's
+validation-as-test role, trainer.py:366-381.)
+
+Usage (TPU):
+  python tools/synth_convergence.py --rep_size b --height 128 --width 416 \
+      --steps 400 --batch_size 8
+CPU smoke (what tests/test_synth_convergence.py runs):
+  python tools/synth_convergence.py --rep_size t --height 64 --width 96 \
+      --steps 30 --batch_size 4 --frames 40
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def _depth_metrics(gt, pred, max_depth=80.0):
+    """Eigen-style metrics with per-image median scaling
+    (evaluate_depth.py protocol)."""
+    errs = []
+    ratios = []
+    for g, p in zip(gt, pred):
+        mask = (g > 1e-3) & (g < max_depth)
+        g, p = g[mask], p[mask]
+        ratio = np.median(g) / np.median(p)
+        ratios.append(ratio)
+        p = np.clip(p * ratio, 1e-3, max_depth)
+        thresh = np.maximum(g / p, p / g)
+        errs.append((
+            float(np.mean(np.abs(g - p) / g)),
+            float(np.mean((g - p) ** 2 / g)),
+            float(np.sqrt(np.mean((g - p) ** 2))),
+            float(np.mean(thresh < 1.25)),
+        ))
+    a = np.asarray(errs).mean(0)
+    return {"abs_rel": a[0], "sq_rel": a[1], "rmse": a[2], "a1": a[3],
+            "median_ratio": float(np.mean(ratios))}
+
+
+def run_convergence(rep_size="t", height=64, width=96, steps=30,
+                    batch_size=4, frames=40, eval_frames=8, seed=0,
+                    eval_every=0, log=print, compute_dtype="float32",
+                    use_trainer_flags=True):
+    import jax
+    import jax.numpy as jnp
+
+    from ppeadepth_tpu.options import Config
+    from ppeadepth_tpu.models import RepDepth
+    from ppeadepth_tpu.core.geometry import disp_to_depth
+    from ppeadepth_tpu.train import schedule
+    from ppeadepth_tpu.train.step import create_train_state, make_train_step
+    from tools.synth_scene import render_sequence
+
+    opt = Config(
+        adapter=True, rep_size=rep_size, use_checkpoint=False,
+        height=height, width=width, batch_size=batch_size,
+        num_depth_bins=16 if rep_size == "t" else 96,
+        bin_chunk=4 if rep_size == "t" else 8,
+        compute_dtype=compute_dtype,
+    )
+    H, W = height, width
+
+    t0 = time.time()
+    n_total = frames + 1 + eval_frames + 1
+    imgs, deps, K = render_sequence(n_total, H, W, seed=seed)
+    log(f"rendered {n_total} frames in {time.time() - t0:.1f}s; "
+        f"scene depth p5/p95 = "
+        f"{np.percentile(deps[deps < 1000], 5):.1f}/"
+        f"{np.percentile(deps[deps < 1000], 95):.1f} m")
+    train_idx = list(range(1, frames))          # need f-1 and f+1
+    eval_idx = list(range(frames + 1, n_total - 1))
+
+    Ks = {}
+    for s in (0, 2):
+        Kx = K.copy()
+        Kx[:2] /= 2 ** s
+        Ks[s] = Kx
+
+    def make_batch(rs):
+        centers = rs.choice(train_idx, size=batch_size, replace=False)
+        batch = {}
+        for off in (0, -1, 1):
+            arr = jnp.asarray(imgs[centers + off])
+            batch[("color", off, 0)] = arr
+            batch[("color_aug", off, 0)] = arr
+        for s in (0, 2):
+            batch[("K", s)] = jnp.asarray(np.stack([Ks[s]] * batch_size))
+            batch[("inv_K", s)] = jnp.asarray(
+                np.stack([np.linalg.pinv(Ks[s])] * batch_size))
+        return batch
+
+    model = RepDepth(opt)
+    rngs = {"params": jax.random.PRNGKey(seed),
+            "droppath": jax.random.PRNGKey(1), "aug": jax.random.PRNGKey(2)}
+    rs = np.random.RandomState(seed)
+    init_batch = make_batch(rs)
+    variables = jax.jit(lambda: model.init(
+        rngs, init_batch, 0.1, 10.0, False))()
+    tx = schedule.make_optimizer(1e-4, steps_per_epoch=max(steps, 1))
+    state = create_train_state(model, variables, opt, tx)
+    step_fn = make_train_step(model, opt, tx, donate=True)
+
+    fwd = jax.jit(lambda p, st, x: model.apply(
+        {"params": p, "batch_stats": st}, x, False,
+        method=RepDepth.forward_mono))
+
+    def eval_metrics(state):
+        params = state.params
+        preds = []
+        for i in range(0, len(eval_idx), batch_size):
+            idx = eval_idx[i:i + batch_size]
+            x = jnp.asarray(imgs[idx])
+            out = fwd(params, state.batch_stats, x)
+            disp = np.asarray(out[("disp", 0)][..., 0], np.float32)
+            _, depth = disp_to_depth(disp, opt.min_depth, opt.max_depth)
+            preds.extend(np.asarray(depth))
+        gt = [deps[i] for i in eval_idx]
+        return _depth_metrics(gt, preds)
+
+    results = {"scene_depth_p5": float(np.percentile(deps[deps < 1000], 5)),
+               "scene_depth_p95": float(np.percentile(deps[deps < 1000], 95))}
+    m0 = eval_metrics(state)
+    log(f"init metrics: {m0}")
+    results["init"] = m0
+    results["bins"] = [(0, float(state.min_depth_bin),
+                        float(state.max_depth_bin))]
+
+    t0 = time.time()
+    for it in range(steps):
+        batch = make_batch(rs)
+        state, metrics = step_fn(state, batch, jax.random.fold_in(
+            jax.random.PRNGKey(100 + seed), it))
+        if (it + 1) % 10 == 0 or it == 0:
+            m = jax.device_get(metrics)
+            log(f"step {it + 1}/{steps} loss {float(m['loss']):.4f} "
+                f"bins [{float(m['depth_bins/min']):.2f}, "
+                f"{float(m['depth_bins/max']):.2f}]")
+            results["bins"].append(
+                (it + 1, float(m["depth_bins/min"]),
+                 float(m["depth_bins/max"])))
+        if eval_every and (it + 1) % eval_every == 0:
+            log(f"  metrics @{it + 1}: {eval_metrics(state)}")
+    results["train_seconds"] = time.time() - t0
+
+    m1 = eval_metrics(state)
+    log(f"final metrics: {m1}")
+    results["final"] = m1
+    return results
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--rep_size", default="t")
+    p.add_argument("--height", type=int, default=64)
+    p.add_argument("--width", type=int, default=96)
+    p.add_argument("--steps", type=int, default=30)
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--frames", type=int, default=40)
+    p.add_argument("--eval_frames", type=int, default=8)
+    p.add_argument("--eval_every", type=int, default=0)
+    p.add_argument("--compute_dtype", default="float32")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--out", default="")
+    a = p.parse_args()
+    if a.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+    r = run_convergence(
+        rep_size=a.rep_size, height=a.height, width=a.width, steps=a.steps,
+        batch_size=a.batch_size, frames=a.frames, eval_frames=a.eval_frames,
+        seed=a.seed, eval_every=a.eval_every, compute_dtype=a.compute_dtype)
+    print(json.dumps(r, indent=2, default=float))
+    if a.out:
+        with open(a.out, "w") as f:
+            json.dump(r, f, indent=2, default=float)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,185 @@
+"""Procedural synthetic driving scene with analytic ground-truth depth.
+
+Purpose (VERDICT r2 #2): the reference's de-facto integration test is
+metric regression on real KITTI validation (trainer.py:366-381), which
+this image cannot run (no datasets, no pretrained weights). The strongest
+available proxy is training on procedurally rendered video with KNOWN
+depth until depth metrics improve materially — exercising the depth-bin
+EMA, automask, pose convergence, and consistency masking jointly over
+time, which overfit-one-batch tests cannot.
+
+The scene: a textured ground plane plus textured axis-aligned boxes,
+ray-cast per pixel (vectorized numpy). Textures are functions of WORLD
+coordinates (sums of random-phase sinusoids), so appearance is
+view-consistent across frames — the property self-supervised photometric
+training needs. The camera drives forward with gentle yaw/pitch, like a
+car. Everything is deterministic from `seed`.
+
+Returns per frame: RGB image, analytic depth map (camera-z), and the
+4x4 camera-to-world pose; plus the normalized KITTI-style intrinsics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _simple_texture(seed, n=10, scale=0.5):
+    """View-consistent smooth RGB texture over R^2 world coords."""
+    rs = np.random.RandomState(seed)
+    k = rs.uniform(0.25, 2.5, (n, 2))
+    phase = rs.uniform(0, 2 * np.pi, n)
+    weight = rs.uniform(0.3, 1.0, (n, 3)) / np.sqrt(n)
+    base = rs.uniform(0.3, 0.7, 3)
+
+    def tex(u, v):
+        s = np.sin(u[..., None] * k[:, 0] + v[..., None] * k[:, 1] + phase)
+        return np.clip(base + scale * s @ weight, 0.0, 1.0)
+
+    return tex
+
+
+def make_intrinsics(height, width):
+    """KITTI-style normalized intrinsics (kitti.py / trainer fixtures)."""
+    K = np.eye(4, dtype=np.float32)
+    K[0, 0], K[1, 1] = 0.58 * width, 1.92 * height
+    K[0, 2], K[1, 2] = 0.5 * width, 0.5 * height
+    return K
+
+
+class SynthScene:
+    """Ground plane at y=0 + `n_boxes` cuboids scattered ahead."""
+
+    def __init__(self, seed=0, n_boxes=14):
+        rs = np.random.RandomState(seed)
+        self.ground_tex = _simple_texture(seed * 31 + 1)
+        self.sky = np.array([0.55, 0.65, 0.8])
+        boxes = []
+        for i in range(n_boxes):
+            x = rs.uniform(-14, 14)
+            z = rs.uniform(6, 90)
+            w = rs.uniform(0.8, 3.2)
+            d = rs.uniform(0.8, 3.2)
+            h = rs.uniform(1.0, 5.0)
+            if abs(x) < 2.5:  # keep the driving corridor clear
+                x = np.sign(x or 1.0) * rs.uniform(3.0, 14)
+            lo = np.array([x - w / 2, 0.0, z - d / 2])
+            hi = np.array([x + w / 2, h, z + d / 2])
+            boxes.append((lo, hi, _simple_texture(seed * 97 + 7 * i + 2)))
+        self.boxes = boxes
+
+    # ------------------------------------------------------------------ #
+
+    def render(self, c2w, K_pix, height, width, cam_height=1.5):
+        """Ray-cast one frame. c2w: [4,4] camera-to-world (OpenCV axes:
+        +x right, +y down, +z forward). Returns (rgb [H,W,3] float,
+        depth [H,W] camera-z)."""
+        H, W = height, width
+        fx, fy = K_pix[0, 0], K_pix[1, 1]
+        cx, cy = K_pix[0, 2], K_pix[1, 2]
+        u, v = np.meshgrid(np.arange(W) + 0.5, np.arange(H) + 0.5)
+        dirs_cam = np.stack(
+            [(u - cx) / fx, (v - cy) / fy, np.ones_like(u)], -1)
+        R, t = c2w[:3, :3], c2w[:3, 3]
+        # world frame: +y UP; camera y is down, handled by R
+        dirs = dirs_cam @ R.T
+        origin = t + np.array([0.0, cam_height, 0.0])
+
+        tbest = np.full((H, W), 4000.0)
+        rgb = np.broadcast_to(self.sky, (H, W, 3)).copy()
+
+        # ground plane y=0: t = -origin_y / dir_y (dir_y < 0)
+        dy = dirs[..., 1]
+        tg = np.where(dy < -1e-6, -origin[1] / np.minimum(dy, -1e-6), np.inf)
+        hit = tg < tbest
+        if hit.any():
+            tgf = np.where(np.isfinite(tg), tg, 0.0)
+            px = origin[0] + tgf * dirs[..., 0]
+            pz = origin[2] + tgf * dirs[..., 2]
+            col = self.ground_tex(px * 0.9, pz * 0.9)
+            rgb[hit] = col[hit]
+            tbest = np.where(hit, tg, tbest)
+
+        for lo, hi, tex in self.boxes:
+            with np.errstate(divide="ignore", invalid="ignore"):
+                inv = 1.0 / dirs
+                t0 = (lo - origin) * inv
+                t1 = (hi - origin) * inv
+            tmin = np.minimum(t0, t1).max(-1)
+            tmax = np.maximum(t0, t1).min(-1)
+            hit = (tmax > np.maximum(tmin, 1e-3)) & (tmin < tbest)
+            if not hit.any():
+                continue
+            p = origin + tmin[..., None] * dirs
+            # parametrize the surface by two world coords for texturing
+            col = tex(p[..., 0] * 2.1 + p[..., 1] * 1.3,
+                      p[..., 2] * 2.1 + p[..., 1] * 0.7)
+            rgb[hit] = col[hit]
+            tbest = np.where(hit, tmin, tbest)
+
+        # camera-z depth (pinhole convention): t * ||dir||-projection
+        depth = tbest * 1.0  # dirs_cam z-component is 1 -> t IS camera z
+        depth = np.clip(depth, 0.1, 2000.0)
+        return rgb.astype(np.float32), depth.astype(np.float32)
+
+
+def camera_trajectory(n_frames, seed=0, speed=0.9):
+    """Forward drive with gentle yaw/pitch wobble. Returns [N,4,4]
+    camera-to-world matrices (OpenCV camera axes; world +y up)."""
+    rs = np.random.RandomState(seed + 5)
+    phases = rs.uniform(0, 2 * np.pi, 4)
+    poses = []
+    z = 0.0
+    for i in range(n_frames):
+        z += speed * (1.0 + 0.12 * np.sin(0.11 * i + phases[3]))
+        yaw = 0.035 * np.sin(0.09 * i + phases[0])
+        pitch = 0.012 * np.sin(0.13 * i + phases[1])
+        x = 0.35 * np.sin(0.05 * i + phases[2])
+        cy, sy = np.cos(yaw), np.sin(yaw)
+        cp, sp = np.cos(pitch), np.sin(pitch)
+        # camera-to-world: camera +x right, +y DOWN, +z forward
+        R_yaw = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+        R_pitch = np.array([[1, 0, 0], [0, cp, -sp], [0, sp, cp]])
+        flip = np.diag([1.0, -1.0, 1.0])  # cam y-down -> world y-up
+        R = R_yaw @ R_pitch @ flip
+        c2w = np.eye(4)
+        c2w[:3, :3] = R
+        c2w[:3, 3] = [x, 0.0, z]
+        poses.append(c2w)
+    return np.stack(poses)
+
+
+def render_sequence(n_frames, height, width, seed=0):
+    """(images [N,H,W,3] f32 in [0,1], depths [N,H,W] f32, K [4,4])."""
+    scene = SynthScene(seed)
+    K = make_intrinsics(height, width)
+    K_pix = K.copy()
+    poses = camera_trajectory(n_frames, seed)
+    imgs, deps = [], []
+    for c2w in poses:
+        rgb, d = scene.render(c2w, K_pix, height, width)
+        imgs.append(rgb)
+        deps.append(d)
+    return np.stack(imgs), np.stack(deps), K
+
+
+if __name__ == "__main__":
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--height", type=int, default=192)
+    p.add_argument("--width", type=int, default=640)
+    p.add_argument("--frames", type=int, default=5)
+    p.add_argument("--out", default="/tmp/synth")
+    a = p.parse_args()
+    import os
+
+    from PIL import Image
+
+    os.makedirs(a.out, exist_ok=True)
+    imgs, deps, K = render_sequence(a.frames, a.height, a.width)
+    for i, (im, d) in enumerate(zip(imgs, deps)):
+        Image.fromarray((im * 255).astype(np.uint8)).save(
+            f"{a.out}/f{i:03d}.png")
+        print(i, "depth range", float(d[d < 1000].min()),
+              float(np.percentile(d[d < 1000], 95)))
