@@ -158,10 +158,20 @@ def main():
 
     # secondary: training throughput (the round-2/3 optimization target),
     # measured on the bare measured-fastest step (bs 12, bf16, no remat;
-    # BENCHMARKS.md). Best-effort — never fails the primary metric.
+    # BENCHMARKS.md). Runs in a FRESH subprocess: the no-remat bs-12 step
+    # needs nearly all of HBM, and this process's inference buffers would
+    # otherwise OOM it (observed RESOURCE_EXHAUSTED in-process).
+    # Best-effort — never fails the primary metric.
     if os.environ.get("PPEA_BENCH_TRAIN", "1") != "0":
         try:
-            rec.update(_train_step_bench())
+            import subprocess
+
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--train-only"],
+                capture_output=True, text=True, timeout=2400,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            rec.update(json.loads(out.stdout.strip().splitlines()[-1]))
         except Exception as e:  # noqa: BLE001
             print(f"train-step bench skipped: {e}", file=sys.stderr)
 
@@ -227,5 +237,16 @@ def _train_step_bench():
             "train_step_imgs_per_s": round(12 / dt, 2)}
 
 
+def _train_only_main():
+    import jax
+
+    os.makedirs(".jax_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    print(json.dumps(_train_step_bench()))
+
+
 if __name__ == "__main__":
+    if "--train-only" in sys.argv:
+        sys.exit(_train_only_main())
     sys.exit(main())

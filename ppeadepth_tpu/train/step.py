@@ -280,6 +280,12 @@ def make_train_step(model, opt: Config, tx, donate: bool = True,
     safe when every call gets a FRESH batch (the trainer's loader loop;
     profile tools and overfit tests re-feed the same batch and must not
     set it, or the second call hits deleted buffers).
+
+    (Fusing the fast pipeline's device-side augment into this step was
+    measured and rejected: the [B,H,W,3] color tensors become padded
+    in-program temps and the bs-12 no-remat step grows +0.4 GB past a
+    16 GB v5e; as jit-boundary buffers they stay compact. BENCHMARKS.md
+    round 3.)
     """
     freeze_tp = opt.freeze_teacher_and_pose
     update_bins = (not freeze_tp) and (not opt.notadabins)

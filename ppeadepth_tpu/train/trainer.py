@@ -72,13 +72,15 @@ class Trainer:
 
         # Measured (BENCHMARKS.md): the BARE no-remat step fits bs 12 on a
         # 16 GB v5e, but the full Trainer (device-prefetched next batch +
-        # sharded buffer assignment) OOMs there; checkpointing the loss
-        # section closes it and costs ~0 under the SPMD-partitioned
-        # compile. Auto-enable so the documented default commands run.
+        # sharded buffer assignment) OOMs there — and still OOMs at bs 11
+        # (by 168 MB, probed round 3); checkpointing the loss section
+        # closes it and costs ~0 under the SPMD-partitioned compile.
+        # Auto-enable so the documented default commands run.
         if (jax.default_backend() == "tpu" and not opt.use_checkpoint
                 and not opt.remat_loss
-                and opt.batch_size // max(n_dev, 1) >= 12):
-            print("[trainer] per-device batch >= 12 without --use_checkpoint:"
+                and opt.batch_size // max(n_dev, 1) >= 11
+                and not os.environ.get("PPEA_NO_AUTO_REMAT")):
+            print("[trainer] per-device batch >= 11 without --use_checkpoint:"
                   " auto-enabling --remat_loss (full-trainer OOM guard;"
                   " pass --use_checkpoint to opt out)")
             self.opt = opt = opt.replace(remat_loss=True)
@@ -157,6 +159,12 @@ class Trainer:
             self.load_model(opt.load_weights_folder)
 
         self.state = mesh_lib.replicate(self.state, self.mesh)
+        # NOTE round-3 measurement: fusing the device-side augment INTO
+        # the step (prepare_fn inside make_train_step) was tried and
+        # REVERTED — as in-program temps the [B,H,W,3] color tensors get
+        # padded tiled layouts and the bs-12 no-remat step needs 16.12 GB
+        # (+0.4 GB vs the two-jit split, OOM on a 16 GB v5e). As jit
+        # boundary buffers they keep compact layouts. See BENCHMARKS.md.
         self.step_fn = make_train_step(self.model, opt, self.tx,
                                        donate_batch=donate_batch)
         self.base_rng = jax.random.PRNGKey(opt.pytorch_random_seed or 0)

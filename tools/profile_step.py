@@ -37,6 +37,11 @@ def main():
     p.add_argument("--top", type=int, default=25)
     p.add_argument("--mono_only", action="store_true",
                    help="profile the teacher forward instead")
+    p.add_argument("--sharded", action="store_true",
+                   help="replicate state / shard batch over the active "
+                        "mesh first (reproduces the Trainer's GSPMD "
+                        "compile, which differs from bare jit even on "
+                        "one device)")
     p.add_argument("--merged", action="store_true",
                    help="with --mono_only: structural-reparam deploy form "
                         "(the bench.py configuration)")
@@ -116,6 +121,12 @@ def main():
     else:
         tx = schedule.make_optimizer(opt.learning_rate, steps_per_epoch=1000)
         state = create_train_state(model, variables, opt, tx)
+        if args.sharded:
+            from ppeadepth_tpu.parallel import mesh as mesh_lib
+
+            mesh = mesh_lib.make_mesh()
+            state = mesh_lib.replicate(state, mesh)
+            batch = mesh_lib.shard_batch(batch, mesh)
         step_fn = make_train_step(model, opt, tx, donate=True)
 
         def run(i, carry):

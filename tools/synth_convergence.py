@@ -135,14 +135,40 @@ def run_convergence(rep_size="t", height=64, width=96, steps=30,
         {"params": p, "batch_stats": st}, x, False,
         method=RepDepth.forward_mono))
 
-    def eval_metrics(state):
+    from ppeadepth_tpu.core.geometry import transformation_from_parameters
+
+    @jax.jit
+    def fwd_multi(p, st, img, lk, min_bin, max_bin):
+        # student path: pose net on (lookup, current) -> cost volume ->
+        # matching encoder -> decoder (serve.predict_depth_multi flow)
+        v = {"params": p, "batch_stats": st}
+        feats = model.apply(
+            v, jnp.concatenate([lk, img], -1), False,
+            method=lambda m, x, t: m.pose_encoder(x, t))
+        aa, tt = model.apply(v, [feats], method=lambda m, f: m.pose(f))
+        T = transformation_from_parameters(
+            aa[:, 0, 0], tt[:, 0, 0], invert=True)
+        out, _, _ = model.apply(
+            v, img, lk[:, None], T[:, None],
+            K_dev[2], iK_dev[2], min_bin, max_bin, False,
+            method=RepDepth.forward_multi)
+        return out[("disp", 0)]
+
+    def eval_metrics(state, multi=False):
         params = state.params
         preds = []
         for i in range(0, len(eval_idx), batch_size):
             idx = eval_idx[i:i + batch_size]
             x = jnp.asarray(imgs[idx])
-            out = fwd(params, state.batch_stats, x)
-            disp = np.asarray(out[("disp", 0)][..., 0], np.float32)
+            if multi:
+                lk = jnp.asarray(imgs[[j - 1 for j in idx]])
+                disp = fwd_multi(params, state.batch_stats, x, lk,
+                                 jnp.float32(state.min_depth_bin),
+                                 jnp.float32(state.max_depth_bin))
+                disp = np.asarray(disp[..., 0], np.float32)
+            else:
+                out = fwd(params, state.batch_stats, x)
+                disp = np.asarray(out[("disp", 0)][..., 0], np.float32)
             _, depth = disp_to_depth(disp, opt.min_depth, opt.max_depth)
             preds.extend(np.asarray(depth))
         gt = [deps[i] for i in eval_idx]
@@ -179,6 +205,9 @@ def run_convergence(rep_size="t", height=64, width=96, steps=30,
     m1 = eval_metrics(state)
     log(f"final metrics: {m1}")
     results["final"] = m1
+    m1m = eval_metrics(state, multi=True)
+    log(f"final metrics (student/multi): {m1m}")
+    results["final_multi"] = m1m
     return results
 
 
