@@ -29,9 +29,16 @@ def _to_host(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
-def save_checkpoint(folder: str, state, opt) -> None:
+def save_checkpoint(folder: str, state, opt, frozen_f32=None) -> None:
+    """frozen_f32: optional flat {path-tuple: np.float32 array} pristine
+    copy of the frozen partition — overlaid so checkpoints store f32
+    even when the live state holds bf16 frozen leaves (--frozen_bf16)."""
     os.makedirs(folder, exist_ok=True)
     params = state.params
+    if frozen_f32:
+        flat = traverse_util.flatten_dict(params)
+        flat.update(frozen_f32)
+        params = traverse_util.unflatten_dict(flat)
     model_blob = serialization.msgpack_serialize(
         {"params": _to_host(params),
          "batch_stats": _to_host(state.batch_stats)}

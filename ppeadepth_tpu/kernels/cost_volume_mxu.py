@@ -140,7 +140,7 @@ def _kernel(H, W, C, TN, BD, eps, precision, cur_ref, lk_ref, A_ref, t_ref,
 )
 def frame_diffs_batch(cur_flat, lk_img, A, t, bins, rows_per_tile=2,
                       interpret=False, precision="default",
-                      bins_per_step=8, compute_dtype="bfloat16"):
+                      bins_per_step=None, compute_dtype="bfloat16"):
     """Edge-masked L1 diff volume for one lookup frame, whole batch.
 
     cur_flat: [B, HW, C]; lk_img: [B, H, W, C]; A: [B, 3, 3]; t: [B, 3];
@@ -153,9 +153,18 @@ def frame_diffs_batch(cur_flat, lk_img, A, t, bins, rows_per_tile=2,
         raise ValueError(f"H={H} not divisible by rows_per_tile={rows_per_tile}")
     TN = rows_per_tile * W
     NT = H // rows_per_tile
-    BD = bins_per_step if D % bins_per_step == 0 else 1
-    DC = D // BD
     lk_dt = jnp.dtype(compute_dtype)  # matmul operand dtype; f32 accumulate
+    if bins_per_step is None:
+        # measured sweep (tools/probe_cv.py, BENCHMARKS.md): 32 is the
+        # fastest compiling stack for bf16 operands (33.8 vs 36.6 ms at
+        # (2,8)); f32 operands double the per-step VMEM and 32 exceeds
+        # Mosaic's scoped-vmem limit at KITTI shapes — cap at 8 there
+        # (the round-2 default, known to fit).
+        bins_per_step = 32 if lk_dt == jnp.bfloat16 else 8
+    # largest divisor of D that is <= bins_per_step (a non-dividing
+    # bins_per_step must not silently fall to BD=1 — that is ~10x slower)
+    BD = next(c for c in range(min(bins_per_step, D), 0, -1) if D % c == 0)
+    DC = D // BD
 
     out = pl.pallas_call(
         functools.partial(_kernel, H, W, C, TN, BD, 1e-7,

@@ -143,10 +143,28 @@ class Config:
     # memory escape hatch: recompute scale-0 loss intermediates in bwd.
     # The BARE profiled step fits bs 12 on 16 GB without it, but the full
     # Trainer does not (device-prefetched next batch + sharded-step buffer
-    # assignment eat the last ~200 MB) — the Trainer auto-enables it at
-    # per-device batch >= 12 with --use_checkpoint off (BENCHMARKS.md).
-    # Cost: 91 ms in the bare step; ~0 under the SPMD-partitioned compile.
+    # assignment eat the last ~200 MB; still OOMs at bs 11) — the Trainer
+    # auto-enables it at per-device batch >= 11 with --use_checkpoint off
+    # (BENCHMARKS.md). Cost: 91 ms in the bare step; ~0 under the
+    # SPMD-partitioned compile.
     remat_loss: bool = False
+    # --remat_loss granularity: 'full' recomputes the whole scale-0 loss
+    # section in the bwd; 'save_warps' additionally saves the 4 full-res
+    # pallas warp outputs so the bwd recompute skips re-running the warp
+    # kernels + reprojection geometry chain. Measured (BENCHMARKS.md):
+    # 3.3% faster at bs 8 (256.7 vs 265.5 ms sharded), but the padded
+    # warp residuals (+351 MB) OOM the 16 GB part at per-device bs 12 —
+    # use at per-device bs <= 8, or on larger-HBM parts (v6e/v5p).
+    remat_policy: str = "full"
+    # store the FROZEN RepLKNet-encoder partition in bf16 on device
+    # during training. Those leaves are only ever consumed by modules
+    # computing in compute_dtype (flax casts params to `dtype` at use),
+    # so with bf16 compute the f32 copies are pure HBM waste (~300 MB of
+    # frozen backbone at rep_size=b) — bit-identical loss/grads, tested.
+    # 'auto' = on iff compute_dtype == bfloat16. Pose nets / f32-pinned
+    # modules are excluded (train/step.cast_frozen_storage). Checkpoints
+    # still save f32: the Trainer keeps a pristine host-side copy.
+    frozen_bf16: str = "auto"        # auto | on | off
     fast_pipeline: bool = False      # native decode + device-side augment
     merged: bool = False             # deploy: reparam-merged LK convs
 
@@ -186,6 +204,10 @@ class Config:
             f"unknown --ffn_backend {cfg.ffn_backend!r}")
         assert cfg.lk_backend in ("lax", "pallas"), (
             f"unknown --lk_backend {cfg.lk_backend!r}")
+        assert cfg.remat_policy in ("full", "save_warps"), (
+            f"unknown --remat_policy {cfg.remat_policy!r}")
+        assert cfg.frozen_bf16 in ("auto", "on", "off"), (
+            f"unknown --frozen_bf16 {cfg.frozen_bf16!r}")
         if (cfg.freeze_teacher_epoch, cfg.freeze_teacher_step) != (150, -1):
             raise ValueError(
                 "--freeze_teacher_epoch/--freeze_teacher_step are dead "

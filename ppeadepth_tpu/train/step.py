@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
+from jax.ad_checkpoint import checkpoint_name
 
 from ..core import losses as L
 from ..core.geometry import disp_to_depth, reproject_coords
@@ -55,9 +56,40 @@ class TrainState:
         return freeze.merge(self.trainable, self.frozen)
 
 
+# frozen-partition bf16 storage (--frozen_bf16): only leaves consumed by
+# modules that compute in compute_dtype. The two RepLKNet encoders hold
+# ~all the frozen memory and every submodule takes dtype=compute; pose
+# nets compute in f32 (pinned precision, models/pose.py) and the
+# decoders are only frozen in dc mode and are small — both excluded.
+_BF16_STORE_TOPS = ("encoder", "mono_encoder")
+
+
+def resolve_frozen_bf16(opt: Config) -> bool:
+    return opt.frozen_bf16 == "on" or (
+        opt.frozen_bf16 == "auto" and opt.compute_dtype == "bfloat16")
+
+
+def cast_frozen_storage(frozen: Dict, opt: Config) -> Dict:
+    """bf16-store the frozen encoder leaves (flat path-tuple dict).
+
+    Bit-identical compute: flax modules cast params to `dtype` at use,
+    so a bf16-stored leaf and an f32 leaf cast at compute produce the
+    same operand. Saves ~2 bytes/param of persistent HBM (~300 MB at
+    rep_size=b stage 1). Checkpoints save f32 — the Trainer overlays a
+    pristine host copy (ckpt/io.save_checkpoint frozen_f32)."""
+    if not resolve_frozen_bf16(opt):
+        return frozen
+    return {
+        k: (v.astype(jnp.bfloat16)
+            if k[0] in _BF16_STORE_TOPS and v.dtype == jnp.float32 else v)
+        for k, v in frozen.items()
+    }
+
+
 def create_train_state(model, variables, opt: Config, tx) -> TrainState:
     labels = freeze.param_labels(variables["params"], opt)
     trainable, frozen = freeze.partition(variables["params"], labels)
+    frozen = cast_frozen_storage(frozen, opt)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         trainable=trainable,
@@ -118,6 +150,16 @@ def _branch_losses(inputs, outputs, opt: Config, noise_rng, is_multi: bool):
     _, depth = disp_to_depth(disp_full, opt.min_depth, opt.max_depth)
 
     warped = _warp_frames(inputs, depth, outputs, opt, is_multi)
+    # no-op unless under jax.checkpoint with the save_warps policy
+    # (--remat_policy): lets the bwd recompute start FROM the warps
+    # instead of re-running the pallas warp kernels + geometry chain.
+    # Saved NHWC residuals take a padded batch-minor layout (~88 MB each
+    # at bs 12 — does not fit a 16 GB part at per-device bs >= 12, use
+    # 'full' there). Naming a flat [B,H,W*C] view stores them unpadded
+    # but was measured SLOWER than full remat (the reshape at the
+    # checkpoint boundary unfuses the SSIM reduce-windows: 300 vs 265
+    # ms at bs 8) — keep the plain name. BENCHMARKS.md round 3.
+    warped = {f: checkpoint_name(w, "warp") for f, w in warped.items()}
     target = inputs[("color", 0, 0)]
 
     reproj = jnp.concatenate(
@@ -212,7 +254,12 @@ def make_loss_fn(model, opt: Config):
                               noise_rng, is_multi)
 
     if opt.remat_loss:
-        _branch_split = jax.checkpoint(_branch_split, static_argnums=(4,))
+        if opt.remat_policy == "save_warps":
+            _branch_split = jax.checkpoint(
+                _branch_split, static_argnums=(4,),
+                policy=jax.checkpoint_policies.save_only_these_names("warp"))
+        else:
+            _branch_split = jax.checkpoint(_branch_split, static_argnums=(4,))
 
     def _branch(inputs, outputs, noise_rng, is_multi):
         outs_t = {k: v for k, v in outputs.items() if isinstance(k, tuple)}

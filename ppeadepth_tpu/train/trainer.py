@@ -25,6 +25,7 @@ from ..models import RepDepth
 from ..options import Config
 from ..parallel import mesh as mesh_lib
 from . import freeze, schedule
+from . import step as step_mod
 from .step import create_train_state, make_train_step
 
 
@@ -155,6 +156,14 @@ class Trainer:
         labels = freeze.param_labels(variables["params"], opt)
         freeze.print_num_param(variables["params"], labels)
 
+        # pristine f32 host copy of the (bf16-stored) frozen partition —
+        # checkpoints save f32 regardless of --frozen_bf16
+        self._frozen_f32 = None
+        if step_mod.resolve_frozen_bf16(opt):
+            _, frozen_f32 = freeze.partition(variables["params"], labels)
+            self._frozen_f32 = {k: np.asarray(v)
+                                for k, v in frozen_f32.items()}
+
         if opt.load_weights_folder:
             self.load_model(opt.load_weights_folder)
 
@@ -185,11 +194,21 @@ class Trainer:
     # ------------------------------------------------------------------ #
 
     def load_model(self, folder: str):
+        # template upcast: with --frozen_bf16 the live frozen leaves are
+        # bf16, but checkpoints store f32 and merge_into casts loaded
+        # values to the template dtype — load against f32 so the pristine
+        # copy keeps full precision, then re-apply the storage cast.
+        template = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.float32)
+            if a.dtype == jnp.bfloat16 else a, self.state.params)
         params, stats, track = ckpt_io.load_model(
-            folder, self.state.params, self.state.batch_stats
+            folder, template, self.state.batch_stats
         )
         labels = freeze.param_labels(params, self.opt)
         trainable, frozen = freeze.partition(params, labels)
+        if step_mod.resolve_frozen_bf16(self.opt):
+            self._frozen_f32 = {k: np.asarray(v) for k, v in frozen.items()}
+            frozen = step_mod.cast_frozen_storage(frozen, self.opt)
         opt_state = self.state.opt_state
         if not self.opt.ktf:  # --ktf skips track/adam (trainer.py:151)
             opt_state = ckpt_io.load_adam(folder, self.state.opt_state)
@@ -207,7 +226,8 @@ class Trainer:
 
     def save_model(self, suffix: str):
         folder = os.path.join(self.log_path, f"{self.opt.name}_{suffix}")
-        ckpt_io.save_checkpoint(folder, self.state, self.opt)
+        ckpt_io.save_checkpoint(folder, self.state, self.opt,
+                                frozen_f32=self._frozen_f32)
         print(f"saved checkpoint to {folder}")
         return folder
 

@@ -58,11 +58,32 @@ def main():
     paths = sorted(glob.glob(f"{tmp}/plugins/profile/*/*.trace.json.gz"))
     with gzip.open(paths[-1]) as f:
         trace = json.load(f)
+    import collections
+    import sys
+
     tot = 0.0
+    per_cat = collections.Counter()
+    per_op = collections.Counter()
     for e in trace.get("traceEvents", []):
-        if e.get("ph") == "X" and e.get("name", "").startswith("jit_"):
-            tot += e.get("dur", 0)
+        if e.get("ph") != "X" or "dur" not in e:
+            continue
+        name = e.get("name", "")
+        if name.startswith("jit_"):
+            tot += e["dur"]
+            continue
+        args_d = e.get("args") or {}
+        hlo_cat = args_d.get("hlo_category")
+        if hlo_cat is None and "run_id" not in args_d:
+            continue  # host-side event
+        per_op[name] += e["dur"]
+        per_cat[hlo_cat or name.rstrip("0123456789.")] += e["dur"]
     ms = tot / 1e3 / args.iters
+    for cat, us in per_cat.most_common(12):
+        print(f"  {us / 1e3 / args.iters:8.2f} ms  {cat}", file=sys.stderr)
+    print("  -- top ops --", file=sys.stderr)
+    for name, us in per_op.most_common(12):
+        print(f"  {us / 1e3 / args.iters:8.2f} ms  {name[:90]}",
+              file=sys.stderr)
     print(json.dumps({
         "metric": "multi_frame_depth_fps_per_chip_640x192",
         "value": round(args.batch / (ms / 1e3), 2),

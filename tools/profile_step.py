@@ -29,6 +29,8 @@ def main():
     p.add_argument("--iters", type=int, default=4)
     p.add_argument("--remat", action="store_true")
     p.add_argument("--remat_loss", action="store_true")
+    p.add_argument("--remat_policy", default="full",
+                   help="full | save_warps (options.remat_policy)")
     p.add_argument("--warp_backend", default="auto")
     p.add_argument("--cv_backend", default="auto")
     p.add_argument("--dtype", default="bfloat16")
@@ -66,7 +68,7 @@ def main():
         height=args.height, width=args.width, batch_size=args.batch,
         adpt_test=4, compute_dtype=args.dtype, cv_backend=args.cv_backend,
         warp_backend=args.warp_backend,
-        remat_loss=args.remat_loss,
+        remat_loss=args.remat_loss, remat_policy=args.remat_policy,
     )
     model = RepDepth(opt)
 

@@ -59,6 +59,8 @@ def main():
     p.add_argument("--fast_pipeline", action="store_true")
     p.add_argument("--remat", action="store_true")
     p.add_argument("--remat_loss", action="store_true")
+    p.add_argument("--remat_policy", type=str, default="full",
+                   help="full | save_warps (see options.remat_policy)")
     p.add_argument("--synthetic", action="store_true",
                    help="drive the sharded step on one fixed device batch "
                         "(no loader) — isolates device rate from host")
@@ -96,7 +98,7 @@ def main():
     opt = Config(
         adapter=True, rep_size="b", adpt_test=4,
         use_checkpoint=args.remat, compute_dtype="bfloat16",
-        remat_loss=args.remat_loss,
+        remat_loss=args.remat_loss, remat_policy=args.remat_policy,
         height=args.height, width=args.width, batch_size=args.batch,
         data_path=root, split="timing", num_epochs=1,
         num_workers=args.workers, validate_every=0,
