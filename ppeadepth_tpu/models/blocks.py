@@ -93,18 +93,40 @@ class ConvBN(nn.Module):
 
 
 class Conv3x3(nn.Module):
-    """Reflection-padded 3x3 conv (layers.py:119-135)."""
+    """Reflection-padded 3x3 conv (layers.py:119-135).
+
+    The pad + conv pair is wrapped in jax.checkpoint (nn.remat): under AD
+    the conv's weight-gradient residual is the PADDED tensor, which XLA
+    stores in a C-minor tiled layout that pads the few-channel decoder
+    activations ~5x (measured: four 486 MB temps for 95 MB of data at
+    bs 12 full-res — ~2.4 GB of peak HBM across the two decoders).
+    Checkpointing saves the unpadded input instead and recomputes the
+    pad (one concat) in the backward; the conv itself is dead code in
+    the recompute (its output is not a residual of its own VJP), so the
+    cost is bandwidth-trivial. remat=False restores the plain path."""
 
     features: int
     dtype: Optional[jnp.dtype] = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x):
-        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
-        return nn.Conv(
+        conv = nn.Conv(
             self.features, (3, 3), padding="VALID", dtype=self.dtype,
             name="conv"
-        )(x)
+        )
+
+        def _pad_conv(mdl, inp):
+            return mdl(jnp.pad(
+                inp, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect"))
+
+        if self.remat:
+            # prevent_cse=True is REQUIRED: with CSE allowed, XLA merges
+            # the backward recompute of the pad with the forward pad and
+            # the padded buffer stays live — zero memory saved (measured:
+            # the four 486 MB temps survive prevent_cse=False intact).
+            _pad_conv = nn.remat(_pad_conv)
+        return _pad_conv(conv, x)
 
 
 class ConvBlock(nn.Module):

@@ -105,9 +105,24 @@ class RepDepth(nn.Module):
     # ------------------------------------------------------------------ #
 
     def _pose_pair(self, a, b, invert, train):
-        """Pose from a temporally-ordered image pair."""
-        feats = self.pose_encoder(jnp.concatenate([a, b], axis=-1), train)
-        axisangle, translation = self.pose([feats])
+        """Pose from a temporally-ordered image pair.
+
+        The encoder+decoder pair is rematerialized in the backward pass
+        (--remat_pose, default on): its saved residuals are otherwise
+        ~960 MB at bs 12 — two f32 [B,96,320,64] conv1 outputs plus two
+        normalized 6-channel inputs that XLA stores at ~8x layout
+        padding — while the recompute is one ResNet-18 forward (~2 ms).
+        With remat, the only residuals are the color frames, which are
+        already resident as jit arguments. Gradients are bit-identical
+        (jax.checkpoint semantics)."""
+        def _nets(mdl, a, b, train):
+            feats = mdl.pose_encoder(jnp.concatenate([a, b], axis=-1),
+                                     train)
+            return mdl.pose([feats])
+
+        if self.opt.remat_pose:
+            _nets = nn.remat(_nets, static_argnums=(3,))
+        axisangle, translation = _nets(self, a, b, train)
         T = transformation_from_parameters(
             axisangle[:, 0, 0], translation[:, 0, 0], invert=invert
         )

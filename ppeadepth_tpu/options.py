@@ -165,6 +165,11 @@ class Config:
     # modules are excluded (train/step.cast_frozen_storage). Checkpoints
     # still save f32: the Trainer keeps a pristine host-side copy.
     frozen_bf16: str = "auto"        # auto | on | off
+    # rematerialize the pose nets in the backward pass: their saved
+    # residuals are ~960 MB at bs 12 (layout-padded f32 buffers) vs a
+    # ~2 ms ResNet-18 recompute; bit-identical gradients. See
+    # models/repdepth.RepDepth._pose_pair.
+    remat_pose: bool = True
     fast_pipeline: bool = False      # native decode + device-side augment
     merged: bool = False             # deploy: reparam-merged LK convs
 

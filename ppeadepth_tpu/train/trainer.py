@@ -71,19 +71,22 @@ class Trainer:
             f"batch_size {opt.batch_size} not divisible by {n_dev} devices"
         )
 
-        # Measured (BENCHMARKS.md): the BARE no-remat step fits bs 12 on a
-        # 16 GB v5e, but the full Trainer (device-prefetched next batch +
-        # sharded buffer assignment) OOMs there — and still OOMs at bs 11
-        # (by 168 MB, probed round 3); checkpointing the loss section
-        # closes it and costs ~0 under the SPMD-partitioned compile.
-        # Auto-enable so the documented default commands run.
+        # Measured (BENCHMARKS.md): with --remat_pose (default) +
+        # --frozen_bf16 the bs-12 no-remat step fits a 16 GB v5e with
+        # ~650 MB of headroom (AOT temps 13.8 GB + 1.3 GB args) and runs
+        # 24.7 imgs/s sharded vs 22.9 with --remat_loss — so remat_loss
+        # is only auto-enabled past per-device bs 12 now. Without
+        # remat_pose the round-3 thresholds apply (OOM at bs 11 by
+        # 168 MB): auto-enable from bs 11.
+        auto_remat_bs = 13 if opt.remat_pose else 11
         if (jax.default_backend() == "tpu" and not opt.use_checkpoint
                 and not opt.remat_loss
-                and opt.batch_size // max(n_dev, 1) >= 11
+                and opt.batch_size // max(n_dev, 1) >= auto_remat_bs
                 and not os.environ.get("PPEA_NO_AUTO_REMAT")):
-            print("[trainer] per-device batch >= 11 without --use_checkpoint:"
-                  " auto-enabling --remat_loss (full-trainer OOM guard;"
-                  " pass --use_checkpoint to opt out)")
+            print(f"[trainer] per-device batch >= {auto_remat_bs} without"
+                  " --use_checkpoint: auto-enabling --remat_loss"
+                  " (full-trainer OOM guard; pass --use_checkpoint or"
+                  " PPEA_NO_AUTO_REMAT=1 to opt out)")
             self.opt = opt = opt.replace(remat_loss=True)
 
         # datasets
