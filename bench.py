@@ -28,6 +28,8 @@ def _previous_value():
         try:
             with open(path) as f:
                 rec = json.load(f)
+            # the driver nests the printed record under "parsed"
+            rec = rec.get("parsed", rec)
             if rec.get("unit") == "fps/chip":
                 vals.append(float(rec["value"]))
         except Exception:
