@@ -72,3 +72,45 @@ def test_trainer_fast_pipeline(kitti_tmp, tmp_path):
     trainer = Trainer(opt, splits_dir=splits_dir)
     trainer.train()
     assert int(trainer.state.step) == 1
+
+
+def test_trainer_frozen_bf16_ckpt_f32(kitti_tmp, tmp_path):
+    """With bf16 compute the Trainer stores the frozen encoder partition
+    in bf16 on device (--frozen_bf16 auto) but checkpoints must carry
+    the pristine f32 values through the REAL save path, and a resume
+    must re-apply the storage cast."""
+    import jax.numpy as jnp
+    import flax.traverse_util as TU
+    from flax import serialization
+
+    root, splits_dir = kitti_tmp
+    opt = Config(
+        adapter=True, rep_size="t", use_checkpoint=False,
+        height=64, width=96, batch_size=8, num_depth_bins=8, bin_chunk=4,
+        data_path=root, split="tiny", num_epochs=1, num_workers=2,
+        validate_every=0, log_dir=str(tmp_path / "ckpt3"), name="fb16",
+        compute_dtype="bfloat16",
+    )
+    trainer = Trainer(opt, splits_dir=splits_dir)
+    # live state: frozen encoder leaves are bf16-stored
+    assert trainer._frozen_f32 is not None
+    enc_dtypes = {v.dtype for k, v in trainer.state.frozen.items()
+                  if k[0] in ("encoder", "mono_encoder")}
+    assert enc_dtypes == {jnp.dtype(jnp.bfloat16)}
+    trainer.train()
+    final = os.path.join(trainer.log_path, "fb16_final")
+    with open(os.path.join(final, "model.msgpack"), "rb") as f:
+        blob = serialization.msgpack_restore(f.read())
+    flat = TU.flatten_dict(blob["params"])
+    # every frozen leaf in the file is f32 and equals the pristine copy
+    for k, v in trainer._frozen_f32.items():
+        assert flat[k].dtype == np.float32, k
+        np.testing.assert_array_equal(flat[k], v)
+    # resume: cast re-applied, pristine copy restored
+    trainer2 = Trainer(opt.replace(load_weights_folder=final),
+                       splits_dir=splits_dir)
+    enc2 = {v.dtype for k, v in trainer2.state.frozen.items()
+            if k[0] in ("encoder", "mono_encoder")}
+    assert enc2 == {jnp.dtype(jnp.bfloat16)}
+    for k, v in trainer._frozen_f32.items():
+        np.testing.assert_array_equal(trainer2._frozen_f32[k], v)
