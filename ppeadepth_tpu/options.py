@@ -170,6 +170,14 @@ class Config:
     # ~2 ms ResNet-18 recompute; bit-identical gradients. See
     # models/repdepth.RepDepth._pose_pair.
     remat_pose: bool = True
+    # gradient accumulation (beyond the reference): split each step's
+    # batch into N scanned microbatches, average grads/metrics/bin
+    # statistics, update once. Activation memory scales with
+    # batch_size/N, so effective batches far beyond the 16 GB bs-12
+    # ceiling fit one chip. BN running stats update per microbatch
+    # (torch grad-accum semantics). batch_size must divide by N (and by
+    # N*n_devices when dp-sharded).
+    grad_accum: int = 1
     fast_pipeline: bool = False      # native decode + device-side augment
     merged: bool = False             # deploy: reparam-merged LK convs
 
@@ -213,6 +221,9 @@ class Config:
             f"unknown --remat_policy {cfg.remat_policy!r}")
         assert cfg.frozen_bf16 in ("auto", "on", "off"), (
             f"unknown --frozen_bf16 {cfg.frozen_bf16!r}")
+        assert cfg.grad_accum >= 1 and cfg.batch_size % cfg.grad_accum == 0, (
+            f"--batch_size {cfg.batch_size} must be a positive multiple "
+            f"of --grad_accum {cfg.grad_accum}")
         if (cfg.freeze_teacher_epoch, cfg.freeze_teacher_step) != (150, -1):
             raise ValueError(
                 "--freeze_teacher_epoch/--freeze_teacher_step are dead "

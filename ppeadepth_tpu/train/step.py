@@ -318,6 +318,23 @@ def make_loss_fn(model, opt: Config):
     return loss_fn
 
 
+def stack_microbatches(batch, n: int):
+    """[B, ...] -> [n, B//n, ...] for --grad_accum: microbatch i takes
+    the n-strided samples i::n, so under a dp-sharded batch every device
+    contributes local_batch/n samples to every microbatch (a contiguous
+    split would gather samples from a device subset each scan step).
+
+    Call this under its OWN jit (the Trainer does) so the stacked batch
+    crosses the train-step boundary as a compact argument buffer; the
+    transposed copies it makes are transient temps of the small stacking
+    program instead of living inside the step's peak."""
+    def _s(x):
+        B = x.shape[0]
+        return jnp.moveaxis(x.reshape((B // n, n) + x.shape[1:]), 1, 0)
+
+    return jax.tree_util.tree_map(_s, batch)
+
+
 def make_train_step(model, opt: Config, tx, donate: bool = True,
                     donate_batch: bool = False):
     """Build the jitted train step closure.
@@ -338,21 +355,67 @@ def make_train_step(model, opt: Config, tx, donate: bool = True,
     update_bins = (not freeze_tp) and (not opt.notadabins)
     loss_fn = make_loss_fn(model, opt)
 
-    def train_step(state: TrainState, batch, rng):
+    def _one_microbatch(trainable, frozen, stats, b, min_bin, max_bin, r):
         grad_fn = jax.value_and_grad(loss_fn, argnums=0, has_aux=True)
-        (loss, (new_stats, metrics, mono_depth)), grads = grad_fn(
-            state.trainable, state.frozen, state.batch_stats, batch,
-            state.min_depth_bin, state.max_depth_bin, rng,
+        (_, (new_stats, metrics, mono_depth)), grads = grad_fn(
+            trainable, frozen, stats, b, min_bin, max_bin, r,
         )
+        d = jax.lax.stop_gradient(mono_depth)
+        dmin = jnp.mean(jnp.min(d, axis=(1, 2, 3)))
+        dmax = jnp.mean(jnp.max(d, axis=(1, 2, 3)))
+        return grads, new_stats, metrics, dmin, dmax
+
+    def train_step(state: TrainState, batch, rng):
+        if opt.grad_accum > 1:
+            # --grad_accum N: scan N pre-stacked microbatches, averaging
+            # grads / metrics / bin statistics; BN running stats update
+            # sequentially per microbatch (torch grad-accum semantics:
+            # each forward updates running stats). The batch MUST be
+            # stacked by stack_microbatches in ITS OWN jit before the
+            # step: stacking in here materializes padded transposed
+            # copies of every color tensor as in-program temps
+            # (measured +2.3 GB at bs 24 — same failure mode as fusing
+            # the augment into the step), while a jit-boundary stacked
+            # batch stays compact. The one compiled scan body keeps
+            # compile time flat in N.
+            N = opt.grad_accum
+            mbs = batch
+            lead = {x.shape[0] for x in jax.tree_util.tree_leaves(batch)}
+            if lead != {N}:
+                raise ValueError(
+                    f"grad_accum={N}: pass the batch through "
+                    f"stack_microbatches first (leading dims {lead})")
+            rngs = jax.random.split(rng, N)
+
+            def body(carry, xs):
+                stats, gsum = carry
+                b, r = xs
+                grads, stats, metrics, dmin, dmax = _one_microbatch(
+                    state.trainable, state.frozen, stats, b,
+                    state.min_depth_bin, state.max_depth_bin, r)
+                gsum = jax.tree_util.tree_map(jnp.add, gsum, grads)
+                return (stats, gsum), (metrics, dmin, dmax)
+
+            (new_stats, gsum), (m_st, dmin_st, dmax_st) = jax.lax.scan(
+                body,
+                (state.batch_stats,
+                 jax.tree_util.tree_map(jnp.zeros_like, state.trainable)),
+                (mbs, rngs),
+            )
+            grads = jax.tree_util.tree_map(lambda g: g / N, gsum)
+            metrics = jax.tree_util.tree_map(lambda v: jnp.mean(v, 0), m_st)
+            dmin, dmax = jnp.mean(dmin_st), jnp.mean(dmax_st)
+        else:
+            grads, new_stats, metrics, dmin, dmax = _one_microbatch(
+                state.trainable, state.frozen, state.batch_stats, batch,
+                state.min_depth_bin, state.max_depth_bin, rng,
+            )
         updates, new_opt_state = tx.update(
             grads, state.opt_state, state.trainable
         )
         new_trainable = optax.apply_updates(state.trainable, updates)
 
         if update_bins:
-            d = jax.lax.stop_gradient(mono_depth)
-            dmin = jnp.mean(jnp.min(d, axis=(1, 2, 3)))
-            dmax = jnp.mean(jnp.max(d, axis=(1, 2, 3)))
             dmin = jnp.maximum(opt.min_depth, dmin * 0.9)
             dmax = dmax * 1.1
             new_min = state.min_depth_bin * 0.99 + dmin * 0.01

@@ -79,9 +79,10 @@ class Trainer:
         # remat_pose the round-3 thresholds apply (OOM at bs 11 by
         # 168 MB): auto-enable from bs 11.
         auto_remat_bs = 13 if opt.remat_pose else 11
+        per_dev_micro = opt.batch_size // max(n_dev, 1) // opt.grad_accum
         if (jax.default_backend() == "tpu" and not opt.use_checkpoint
                 and not opt.remat_loss
-                and opt.batch_size // max(n_dev, 1) >= auto_remat_bs
+                and per_dev_micro >= auto_remat_bs
                 and not os.environ.get("PPEA_NO_AUTO_REMAT")):
             print(f"[trainer] per-device batch >= {auto_remat_bs} without"
                   " --use_checkpoint: auto-enabling --remat_loss"
@@ -264,6 +265,12 @@ class Trainer:
                     fr, k, r, opt.height, opt.width, 4, 1
                 )
             )
+        stack = None
+        if opt.grad_accum > 1:
+            # own jit: the stacked batch must cross the step boundary as
+            # a compact argument (see step.stack_microbatches)
+            stack = jax.jit(
+                lambda b: step_mod.stack_microbatches(b, opt.grad_accum))
         start_epoch = step // max(self.steps_per_epoch, 1)
         for epoch in range(start_epoch, opt.num_epochs):
             self.train_loader.set_epoch(epoch)
@@ -284,6 +291,8 @@ class Trainer:
                     frames, K = batch
                     rng, rng_aug = jax.random.split(rng)
                     batch = prepare(frames, K, rng_aug)
+                if stack is not None:
+                    batch = stack(batch)
                 self.state, metrics = self.step_fn(self.state, batch, rng)
                 step += 1
                 if step == 250 and opt.validate_every > 0:

@@ -312,3 +312,74 @@ def test_frozen_bf16_checkpoint_saves_f32(tmp_path):
     for k, v in frozen_f32.items():
         assert flat[k].dtype == np.float32, k
         np.testing.assert_array_equal(np.asarray(flat[k]), v)
+
+
+def test_grad_accum_equivalence():
+    """--grad_accum N must equal the manual sequential reference: run
+    loss_fn on each N-strided microbatch (BN stats threaded through),
+    average grads / metrics / bin stats, apply one optimizer update."""
+    from ppeadepth_tpu.train.step import make_loss_fn
+
+    import optax
+
+    opt = TINY.replace(no_matching_augmentation=True)
+    model, state, _, batch = init_model_state(opt, 4)
+    batch = make_batch(opt, 4)
+    rng = jax.random.PRNGKey(11)
+    # SGD, not Adam: on step 1 Adam's update is lr*sign(g) per element,
+    # so any reassociation-flipped near-zero grad gives a full 2*lr
+    # param diff (ill-conditioned as an equivalence metric). With SGD
+    # the param delta IS the mean gradient — well-conditioned.
+    tx = optax.sgd(1e-2)
+    state = state.replace(opt_state=tx.init(state.trainable))
+
+    # accumulated step (batch stacked at the jit boundary, as the
+    # Trainer does — see step.stack_microbatches)
+    from ppeadepth_tpu.train.step import stack_microbatches
+
+    step2 = make_train_step(model, opt.replace(grad_accum=2), tx,
+                            donate=False)
+    new_state, metrics = step2(state, stack_microbatches(batch, 2), rng)
+
+    # manual reference: microbatch i = N-strided samples (see step.py)
+    loss_fn = make_loss_fn(model, opt)
+    grad_fn = jax.value_and_grad(loss_fn, argnums=0, has_aux=True)
+    rngs = jax.random.split(rng, 2)
+    stats = state.batch_stats
+    gsum = None
+    dmins, dmaxs, losses = [], [], []
+    for i in range(2):
+        mb = {k: v[i::2] if v.shape[0] == 4 else v for k, v in batch.items()}
+        (loss, (stats, m, mono_depth)), grads = grad_fn(
+            state.trainable, state.frozen, stats, mb,
+            state.min_depth_bin, state.max_depth_bin, rngs[i])
+        losses.append(float(loss))
+        d = np.asarray(mono_depth)
+        dmins.append(float(np.mean(np.min(d, axis=(1, 2, 3)))))
+        dmaxs.append(float(np.mean(np.max(d, axis=(1, 2, 3)))))
+        gsum = grads if gsum is None else jax.tree_util.tree_map(
+            jnp.add, gsum, grads)
+    grads = jax.tree_util.tree_map(lambda g: g / 2, gsum)
+    updates, _ = tx.update(grads, state.opt_state, state.trainable)
+    ref_trainable = optax.apply_updates(state.trainable, updates)
+
+    # scan compiles one body; fusion differences reassociate f32
+    # reductions (~1e-5 rel observed) — far below any wrong-split error
+    np.testing.assert_allclose(
+        float(metrics["loss"]), np.mean(losses), rtol=1e-4)
+    # bin EMA from averaged per-microbatch stats
+    dmin = max(opt.min_depth, np.mean(dmins) * 0.9)
+    ref_min = float(state.min_depth_bin) * 0.99 + dmin * 0.01
+    np.testing.assert_allclose(float(new_state.min_depth_bin), ref_min,
+                               rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(ref_trainable),
+                    jax.tree_util.tree_leaves(new_state.trainable)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)
+    # BN stats threaded sequentially. Tolerances bound reassociation
+    # noise in the per-microbatch batch means (observed ~1e-6 abs);
+    # a wrong update order/sequencing moves stats by O(1e-2).
+    for a, b in zip(jax.tree_util.tree_leaves(stats),
+                    jax.tree_util.tree_leaves(new_state.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=2e-6)

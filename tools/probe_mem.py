@@ -21,6 +21,8 @@ def main():
     p.add_argument("--remat", action="store_true")
     p.add_argument("--remat_loss", action="store_true")
     p.add_argument("--frozen_bf16", default="auto")
+    p.add_argument("--grad_accum", type=int, default=1)
+    p.add_argument("--rep_size", default="b")
     args = p.parse_args()
 
     import jax
@@ -38,10 +40,10 @@ def main():
     from ppeadepth_tpu.train.step import make_train_step
 
     B, H, W = args.batch, args.height, args.width
-    opt = Config(adapter=True, rep_size="b", use_checkpoint=args.remat,
+    opt = Config(adapter=True, rep_size=args.rep_size, use_checkpoint=args.remat,
                  height=H, width=W, batch_size=B, adpt_test=4,
                  compute_dtype="bfloat16", remat_loss=args.remat_loss,
-                 frozen_bf16=args.frozen_bf16)
+                 frozen_bf16=args.frozen_bf16, grad_accum=args.grad_accum)
     model = RepDepth(opt)
     rng = np.random.RandomState(0)
     batch = {}
@@ -66,6 +68,11 @@ def main():
     )()
     tx = schedule.make_optimizer(opt.learning_rate, steps_per_epoch=1000)
     state = create_train_state(model, variables, opt, tx)
+    if args.grad_accum > 1:
+        from ppeadepth_tpu.train.step import stack_microbatches
+
+        batch = jax.jit(
+            lambda b: stack_microbatches(b, args.grad_accum))(batch)
     step_fn = make_train_step(model, opt, tx, donate=True)
     # the jitted fn inside make_train_step; lower via the public wrapper
     lowered = step_fn.lower(state, batch, jax.random.PRNGKey(0)) \

@@ -29,6 +29,8 @@ def main():
     p.add_argument("--iters", type=int, default=4)
     p.add_argument("--remat", action="store_true")
     p.add_argument("--remat_loss", action="store_true")
+    p.add_argument("--grad_accum", type=int, default=1)
+    p.add_argument("--rep_size", default="b")
     p.add_argument("--remat_policy", default="full",
                    help="full | save_warps (options.remat_policy)")
     p.add_argument("--warp_backend", default="auto")
@@ -64,11 +66,12 @@ def main():
     from ppeadepth_tpu.train.step import create_train_state, make_train_step
 
     opt = Config(
-        adapter=True, rep_size="b", use_checkpoint=args.remat,
+        adapter=True, rep_size=args.rep_size, use_checkpoint=args.remat,
         height=args.height, width=args.width, batch_size=args.batch,
         adpt_test=4, compute_dtype=args.dtype, cv_backend=args.cv_backend,
         warp_backend=args.warp_backend,
         remat_loss=args.remat_loss, remat_policy=args.remat_policy,
+        grad_accum=args.grad_accum,
     )
     model = RepDepth(opt)
 
@@ -129,6 +132,11 @@ def main():
             mesh = mesh_lib.make_mesh()
             state = mesh_lib.replicate(state, mesh)
             batch = mesh_lib.shard_batch(batch, mesh)
+        if args.grad_accum > 1:
+            from ppeadepth_tpu.train.step import stack_microbatches
+
+            batch = jax.jit(
+                lambda b: stack_microbatches(b, args.grad_accum))(batch)
         step_fn = make_train_step(model, opt, tx, donate=True)
 
         def run(i, carry):
