@@ -114,3 +114,20 @@ def test_trainer_frozen_bf16_ckpt_f32(kitti_tmp, tmp_path):
     assert enc2 == {jnp.dtype(jnp.bfloat16)}
     for k, v in trainer._frozen_f32.items():
         np.testing.assert_array_equal(trainer2._frozen_f32[k], v)
+
+
+def test_trainer_grad_accum(kitti_tmp, tmp_path):
+    """Trainer wiring for --grad_accum: the boundary stack jit is
+    applied (the step raises if not) and an epoch completes."""
+    root, splits_dir = kitti_tmp
+    opt = Config(
+        adapter=True, rep_size="t", use_checkpoint=False,
+        height=64, width=96, batch_size=8, num_depth_bins=8, bin_chunk=4,
+        data_path=root, split="tiny", num_epochs=1, num_workers=2,
+        validate_every=0, log_dir=str(tmp_path / "ckpt4"), name="accum",
+        grad_accum=2,
+    )
+    trainer = Trainer(opt, splits_dir=splits_dir)
+    trainer.train()
+    assert int(trainer.state.step) == 1
+    assert np.isfinite(float(trainer.state.min_depth_bin))
