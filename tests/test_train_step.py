@@ -383,3 +383,32 @@ def test_grad_accum_equivalence():
                     jax.tree_util.tree_leaves(new_state.batch_stats)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=2e-6)
+
+
+def test_grad_accum_dp_equivalence():
+    """grad_accum under an 8-device dp mesh == single-device grad_accum
+    (pins the stacked-batch sharding through the scan and the per-shard
+    pallas dispatch inside the microbatch body)."""
+    from ppeadepth_tpu.train.step import stack_microbatches
+
+    assert len(jax.devices()) >= 8
+    opt = TINY.replace(no_matching_augmentation=True, grad_accum=2)
+    model, state, tx, _ = init_model_state(opt, 8)
+    batch = make_batch(opt, 8)
+    step_fn = make_train_step(model, opt, tx, donate=False)
+    rng = jax.random.PRNGKey(7)
+    stacked = jax.jit(lambda b: stack_microbatches(b, 2))(batch)
+
+    _, m_single = step_fn(state, stacked, rng)
+
+    mesh = M.make_mesh(8)
+    state_r = M.replicate(state, mesh)
+    batch_s = M.shard_batch(batch, mesh)
+    stacked_s = jax.jit(lambda b: stack_microbatches(b, 2))(batch_s)
+    _, m_dp = step_fn(state_r, stacked_s, rng)
+
+    np.testing.assert_allclose(
+        float(m_single["loss"]), float(m_dp["loss"]), rtol=2e-4)
+    np.testing.assert_allclose(
+        float(m_single["depth_bins/max"]), float(m_dp["depth_bins/max"]),
+        rtol=1e-5)
