@@ -89,9 +89,10 @@ def main():
         os.environ.get("PPEA_BENCH_DTYPE", "bfloat16")
     ]
     B = int(os.environ.get("PPEA_BENCH_BATCH", "8"))
+    size = os.environ.get("PPEA_BENCH_SIZE", "b")  # b | l | xl
     H, W = 192, 640
 
-    opt = Config(adapter=True, rep_size="b", use_checkpoint=False,
+    opt = Config(adapter=True, rep_size=size, use_checkpoint=False,
                  height=H, width=W, adpt_test=4)
     model = RepDepth(opt)
     x = jnp.zeros((B, H, W, 3), jnp.float32)
@@ -151,11 +152,12 @@ def main():
     fps = B / dt
 
     rec = {
-        "metric": "depth_inference_fps_per_chip_640x192_replknet31b_adapter",
+        "metric": ("depth_inference_fps_per_chip_640x192_"
+                   f"replknet31{size}_adapter"),
         "value": round(fps, 2),
         "unit": "fps/chip",
         "vs_baseline": round(fps / _previous_value(), 4)
-        if _previous_value() else 1.0,
+        if _previous_value() and size == "b" else 1.0,
     }
 
     # secondary: training throughput (the round-2/3 optimization target),

@@ -39,6 +39,12 @@ def main():
     p.add_argument("--height", type=int, default=192)
     p.add_argument("--width", type=int, default=640)
     p.add_argument("--top", type=int, default=25)
+    p.add_argument("--category", default="",
+                   help="also print the top ops WITHIN this hlo_category "
+                        "(e.g. 'convolution')")
+    p.add_argument("--dump_ops", default="",
+                   help="write {op: {us, category}} JSON for offline "
+                        "joins against dump_hlo.py op_name metadata")
     p.add_argument("--mono_only", action="store_true",
                    help="profile the teacher forward instead")
     p.add_argument("--sharded", action="store_true",
@@ -165,6 +171,7 @@ def main():
     # top-level jit program and carry a duration
     per_op = collections.Counter()
     per_cat = collections.Counter()
+    op_cat = {}
     jit_total = 0.0
     for e in trace.get("traceEvents", []):
         if e.get("ph") != "X" or "dur" not in e:
@@ -178,7 +185,8 @@ def main():
         if hlo_cat is None and "run_id" not in args_d:
             continue  # host-side event
         per_op[name] += e["dur"]
-        per_cat[hlo_cat or name.rstrip("0123456789.")] += e["dur"]
+        op_cat[name] = hlo_cat or name.rstrip("0123456789.")
+        per_cat[op_cat[name]] += e["dur"]
 
     n = args.iters
     print(f"\n== totals over {n} iters ==")
@@ -191,6 +199,18 @@ def main():
     print(f"\n== top {args.top} ops (ms/iter) ==")
     for name, us in per_op.most_common(args.top):
         print(f"{us / 1e3 / n:9.2f}  {us / tot * 100:5.1f}%  {name[:110]}")
+    if args.dump_ops:
+        with open(args.dump_ops, "w") as f:
+            json.dump({k: {"us": v, "category": op_cat.get(k, "")}
+                       for k, v in per_op.items()}, f)
+        print(f"wrote {args.dump_ops} ({len(per_op)} ops)")
+    if args.category:
+        sub = {k: v for k, v in per_op.items()
+               if args.category in op_cat.get(k, "")}
+        print(f"\n== top {args.top} '{args.category}' ops "
+              f"({sum(sub.values()) / 1e3 / n:.2f} ms/iter total) ==")
+        for name, us in collections.Counter(sub).most_common(args.top):
+            print(f"{us / 1e3 / n:9.2f}  {us / tot * 100:5.1f}%  {name[:110]}")
 
 
 if __name__ == "__main__":

@@ -57,7 +57,20 @@ def _depth_metrics(gt, pred, max_depth=80.0):
 def run_convergence(rep_size="t", height=64, width=96, steps=30,
                     batch_size=4, frames=40, eval_frames=8, seed=0,
                     eval_every=0, log=print, compute_dtype="float32",
-                    learning_rate=1e-4, use_trainer_flags=True):
+                    learning_rate=1e-4, use_trainer_flags=True,
+                    scene_seed=None, n_movers=0, config_overrides=None,
+                    init_state=None, return_state=False):
+    """One training phase on a procedural scene.
+
+    Stage-2 support (the reference's --train_cs --dc fine-tune,
+    trainer.py:90-103): `config_overrides={"dc": True, ...}` applies the
+    dc freezing partition, `init_state` warm-starts params/batch_stats
+    AND the depth-bin tracker from a previous phase's TrainState (the
+    --ktf load semantics, trainer.py:151 — optimizer state is NOT
+    carried), `scene_seed`/`n_movers` select a different, dynamic scene.
+    With `init_state`, the reported "init" metrics are the previous
+    phase's model evaluated zero-shot on the new scene.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -75,11 +88,15 @@ def run_convergence(rep_size="t", height=64, width=96, steps=30,
         bin_chunk=4 if rep_size == "t" else 8,
         compute_dtype=compute_dtype,
     )
+    if config_overrides:
+        opt = opt.replace(**config_overrides)
     H, W = height, width
 
     t0 = time.time()
     n_total = frames + 1 + eval_frames + 1
-    imgs, deps, K = render_sequence(n_total, H, W, seed=seed)
+    imgs, deps, K = render_sequence(
+        n_total, H, W, seed=seed if scene_seed is None else scene_seed,
+        n_movers=n_movers)
     log(f"rendered {n_total} frames in {time.time() - t0:.1f}s; "
         f"scene depth p5/p95 = "
         f"{np.percentile(deps[deps < 1000], 5):.1f}/"
@@ -126,9 +143,36 @@ def run_convergence(rep_size="t", height=64, width=96, steps=30,
     init_batch = make_batch(rs)
     variables = jax.jit(lambda: model.init(
         rngs, init_batch, 0.1, 10.0, False))()
+    if init_state is not None:
+        # strict=False merge (Trainer --ktf load): dc=True grows the
+        # decoders with fresh zero-init (≡ identity) deconv adapters that
+        # the stage-1 tree does not carry, so warm-start paths that match
+        # and keep the new adapters at init (repdepth.py:175-262).
+        from ppeadepth_tpu.ckpt.io import merge_into
+
+        merged_p, miss, unex = merge_into(
+            variables["params"], init_state.params)
+        merged_s, _, _ = merge_into(variables["batch_stats"],
+                                    init_state.batch_stats)
+        if miss:
+            log(f"warm start: {len(miss)} fresh paths (dc adapters), "
+                f"{len(unex)} unused")
+        variables = {"params": merged_p, "batch_stats": merged_s}
     tx = schedule.make_optimizer(learning_rate,
                              steps_per_epoch=max(steps, 1))
     state = create_train_state(model, variables, opt, tx)
+    if init_state is not None:
+        # --ktf semantics: carry the depth-bin tracker, fresh Adam
+        import dataclasses as _dc
+
+        state = _dc.replace(state, min_depth_bin=init_state.min_depth_bin,
+                            max_depth_bin=init_state.max_depth_bin)
+    if opt.dc:
+        from ppeadepth_tpu.train.freeze import count_params
+
+        log(f"dc freezing: {count_params(state.trainable):,} trainable / "
+            f"{count_params(state.trainable) + count_params(state.frozen):,}"
+            f" total params")
     step_fn = make_train_step(model, opt, tx, donate=True)
 
     fwd = jax.jit(lambda p, st, x: model.apply(
@@ -188,7 +232,7 @@ def run_convergence(rep_size="t", height=64, width=96, steps=30,
         batch = make_batch(rs)
         state, metrics = step_fn(state, batch, jax.random.fold_in(
             jax.random.PRNGKey(100 + seed), it))
-        if (it + 1) % 10 == 0 or it == 0:
+        if (it + 1) % 10 == 0 or it == 0 or it + 1 == steps:
             m = jax.device_get(metrics)
             losses.append((it + 1, float(m["loss"])))
             log(f"step {it + 1}/{steps} loss {float(m['loss']):.4f} "
@@ -199,6 +243,9 @@ def run_convergence(rep_size="t", height=64, width=96, steps=30,
                  float(m["depth_bins/max"])))
         if eval_every and (it + 1) % eval_every == 0:
             log(f"  metrics @{it + 1}: {eval_metrics(state)}")
+    if not results["bins"] or results["bins"][-1][0] != steps:
+        results["bins"].append((steps, float(state.min_depth_bin),
+                                float(state.max_depth_bin)))
     results["losses"] = losses
     results["train_seconds"] = time.time() - t0
 
@@ -208,6 +255,8 @@ def run_convergence(rep_size="t", height=64, width=96, steps=30,
     m1m = eval_metrics(state, multi=True)
     log(f"final metrics (student/multi): {m1m}")
     results["final_multi"] = m1m
+    if return_state:
+        return results, state
     return results
 
 

@@ -48,9 +48,16 @@ def make_intrinsics(height, width):
 
 
 class SynthScene:
-    """Ground plane at y=0 + `n_boxes` cuboids scattered ahead."""
+    """Ground plane at y=0 + `n_boxes` cuboids scattered ahead.
 
-    def __init__(self, seed=0, n_boxes=14):
+    `n_movers` additional cuboids translate with constant world-frame
+    velocity (units/frame) — synthetic dynamic objects (crossing traffic
+    + a leading vehicle), the scene class stage 2 of the reference
+    targets (CityScapes dynamic scenes, trainer.py:90-103): independent
+    motion breaks the static-scene reprojection assumption, so the
+    matching mask / consistency machinery has real work to do."""
+
+    def __init__(self, seed=0, n_boxes=14, n_movers=0):
         rs = np.random.RandomState(seed)
         self.ground_tex = _simple_texture(seed * 31 + 1)
         self.sky = np.array([0.55, 0.65, 0.8])
@@ -67,12 +74,35 @@ class SynthScene:
             hi = np.array([x + w / 2, h, z + d / 2])
             boxes.append((lo, hi, _simple_texture(seed * 97 + 7 * i + 2)))
         self.boxes = boxes
+        movers = []
+        for i in range(n_movers):
+            w = rs.uniform(1.4, 2.4)
+            d = rs.uniform(2.8, 4.6)
+            h = rs.uniform(1.2, 2.0)
+            if i % 3 == 2:
+                # leading vehicle: ahead in the corridor, driving forward
+                x = rs.uniform(-1.0, 1.0)
+                z = rs.uniform(10, 22)
+                vel = np.array([0.0, 0.0, rs.uniform(0.5, 0.9)])
+            else:
+                # crossing traffic: starts off to one side, drives across
+                side = 1.0 if i % 2 == 0 else -1.0
+                x = -side * rs.uniform(8, 16)
+                z = rs.uniform(10, 45)
+                vel = np.array([side * rs.uniform(0.18, 0.45), 0.0,
+                                rs.uniform(-0.1, 0.25)])
+            lo = np.array([x - w / 2, 0.0, z - d / 2])
+            hi = np.array([x + w / 2, h, z + d / 2])
+            movers.append((lo, hi, _simple_texture(seed * 53 + 11 * i + 3),
+                           vel))
+        self.movers = movers
 
     # ------------------------------------------------------------------ #
 
-    def render(self, c2w, K_pix, height, width, cam_height=1.5):
+    def render(self, c2w, K_pix, height, width, cam_height=1.5, time=0.0):
         """Ray-cast one frame. c2w: [4,4] camera-to-world (OpenCV axes:
-        +x right, +y down, +z forward). Returns (rgb [H,W,3] float,
+        +x right, +y down, +z forward). `time` (frames) displaces the
+        moving boxes by vel*time. Returns (rgb [H,W,3] float,
         depth [H,W] camera-z)."""
         H, W = height, width
         fx, fy = K_pix[0, 0], K_pix[1, 1]
@@ -100,7 +130,11 @@ class SynthScene:
             rgb[hit] = col[hit]
             tbest = np.where(hit, tg, tbest)
 
-        for lo, hi, tex in self.boxes:
+        boxes = list(self.boxes) + [
+            (lo + vel * time, hi + vel * time, tex)
+            for lo, hi, tex, vel in self.movers
+        ]
+        for lo, hi, tex in boxes:
             with np.errstate(divide="ignore", invalid="ignore"):
                 inv = 1.0 / dirs
                 t0 = (lo - origin) * inv
@@ -149,15 +183,15 @@ def camera_trajectory(n_frames, seed=0, speed=0.9):
     return np.stack(poses)
 
 
-def render_sequence(n_frames, height, width, seed=0):
+def render_sequence(n_frames, height, width, seed=0, n_movers=0):
     """(images [N,H,W,3] f32 in [0,1], depths [N,H,W] f32, K [4,4])."""
-    scene = SynthScene(seed)
+    scene = SynthScene(seed, n_movers=n_movers)
     K = make_intrinsics(height, width)
     K_pix = K.copy()
     poses = camera_trajectory(n_frames, seed)
     imgs, deps = [], []
-    for c2w in poses:
-        rgb, d = scene.render(c2w, K_pix, height, width)
+    for i, c2w in enumerate(poses):
+        rgb, d = scene.render(c2w, K_pix, height, width, time=float(i))
         imgs.append(rgb)
         deps.append(d)
     return np.stack(imgs), np.stack(deps), K
