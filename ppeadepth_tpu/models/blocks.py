@@ -16,6 +16,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
+from flax.linen.dtypes import promote_dtype
 
 from ..kernels.lk_conv import depthwise_conv2d
 
@@ -92,18 +93,72 @@ class ConvBN(nn.Module):
         return x
 
 
+class _ReflectConv3x3(nn.Module):
+    """SAME-padded 3x3 conv + thin border corrections == reflect-pad conv.
+
+    Named 'conv' by its parent so the checkpoint path (conv/kernel,
+    conv/bias) and initializers match the nn.Conv it replaces."""
+
+    features: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, cin, self.features))
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,))
+        x, kernel, bias = promote_dtype(x, kernel, bias, dtype=self.dtype)
+        y = jax.lax.conv_general_dilated(
+            x, kernel, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + bias
+        W = x.shape[2]
+
+        def strip1d(s, k1):
+            # s: [B, L+2, C] (ends already carry the pad values);
+            # k1: [3, Ci, Co]. 1D valid conv along L.
+            L = s.shape[1] - 2
+            return sum(jnp.einsum("blc,cd->bld", s[:, kc:kc + L], k1[kc])
+                       for kc in range(3))
+
+        # pad row -1 == x[:, 1] and row H == x[:, -2], each with their own
+        # reflected column ends (covers the 4 pad corners exactly once)
+        def row_strip(xr):
+            return jnp.concatenate(
+                [xr[:, 1:2], xr, xr[:, -2:-1]], axis=1)
+
+        top = strip1d(row_strip(x[:, 1]), kernel[0])
+        bot = strip1d(row_strip(x[:, -2]), kernel[2])
+        # pad col -1 == x[:, :, 1] and col W == x[:, :, -2], rows 0..H-1
+        # only (the pad-corner rows belong to the strips above) -> zero
+        # row ends
+        zpad = ((0, 0), (1, 1), (0, 0))
+        lft = strip1d(jnp.pad(x[:, :, 1], zpad), kernel[:, 0])
+        rgt = strip1d(jnp.pad(x[:, :, -2], zpad), kernel[:, 2])
+        y = y.at[:, 0].add(top).at[:, -1].add(bot)
+        y = y.at[:, :, 0].add(lft).at[:, :, W - 1].add(rgt)
+        return y
+
+
 class Conv3x3(nn.Module):
     """Reflection-padded 3x3 conv (layers.py:119-135).
 
-    The pad + conv pair is wrapped in jax.checkpoint (nn.remat): under AD
-    the conv's weight-gradient residual is the PADDED tensor, which XLA
-    stores in a C-minor tiled layout that pads the few-channel decoder
-    activations ~5x (measured: four 486 MB temps for 95 MB of data at
-    bs 12 full-res — ~2.4 GB of peak HBM across the two decoders).
-    Checkpointing saves the unpadded input instead and recomputes the
-    pad (one concat) in the backward; the conv itself is dead code in
-    the recompute (its output is not a residual of its own VJP), so the
-    cost is bandwidth-trivial. remat=False restores the plain path."""
+    Computed as a SAME-(zero-)padded conv plus four thin border-strip
+    corrections instead of materializing the reflect-padded tensor: the
+    interior is the identical conv, and the border strips add exactly
+    the reflected-pad contributions (one 1D 3-tap conv per edge, corners
+    counted once via the row strips). Why: XLA stores the padded
+    full-res decoder activations in a C-minor tiled layout at ~5.3x
+    their bytes, and the pad's BACKWARD is a chain of slice+add_any
+    scatter fusions at that same padded bandwidth — measured 18.6
+    ms/step across the two decoders at bs 12 (tools/attr_ops.py). The
+    strip form removes both the padded buffer and its backward; border
+    sums differ from the single-dot padded conv only in f32 addition
+    order (~1 ulp on the 1-px border).
+
+    remat is accepted for API compatibility (it wrapped the old padded
+    form; with no padded buffer there is nothing left to save)."""
 
     features: int
     dtype: Optional[jnp.dtype] = None
@@ -111,22 +166,7 @@ class Conv3x3(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        conv = nn.Conv(
-            self.features, (3, 3), padding="VALID", dtype=self.dtype,
-            name="conv"
-        )
-
-        def _pad_conv(mdl, inp):
-            return mdl(jnp.pad(
-                inp, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect"))
-
-        if self.remat:
-            # prevent_cse=True is REQUIRED: with CSE allowed, XLA merges
-            # the backward recompute of the pad with the forward pad and
-            # the padded buffer stays live — zero memory saved (measured:
-            # the four 486 MB temps survive prevent_cse=False intact).
-            _pad_conv = nn.remat(_pad_conv)
-        return _pad_conv(conv, x)
+        return _ReflectConv3x3(self.features, self.dtype, name="conv")(x)
 
 
 class ConvBlock(nn.Module):

@@ -214,3 +214,41 @@ def test_bf16_compute_dtype():
     d16 = np.asarray(mono16[("disp", 0)], dtype=np.float32)
     assert np.isfinite(d16).all()
     assert np.mean(np.abs(d32 - d16)) < 0.02
+
+
+def test_conv3x3_equals_reflect_pad_conv():
+    """Conv3x3's SAME-conv + border-strip form (blocks.py) must equal the
+    reference's reflection-padded 3x3 conv (layers.py:119-135) in value
+    AND gradient — the interior is the identical conv; the strips add
+    the pad contributions (corners once). Guards the decoder redesign
+    that removed the padded full-res buffer and its scatter-add bwd."""
+    from ppeadepth_tpu.models.blocks import Conv3x3
+
+    rng = np.random.RandomState(0)
+    for (B, H, W, C, F) in [(2, 8, 10, 5, 7), (1, 2, 2, 3, 1)]:
+        x = jnp.asarray(rng.randn(B, H, W, C), jnp.float32)
+        m = Conv3x3(F)
+        v = m.init(jax.random.PRNGKey(0), x)
+        k = v["params"]["conv"]["kernel"]
+        b = v["params"]["conv"]["bias"]
+
+        def ref(params, xin):
+            xp = jnp.pad(xin, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                         mode="reflect")
+            return jax.lax.conv_general_dilated(
+                xp, params[0], (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC")) + params[1]
+
+        y = m.apply(v, x)
+        yref = ref((k, b), x)
+        np.testing.assert_allclose(y, yref, atol=1e-5)
+
+        g1 = jax.grad(lambda p, xi: (m.apply({"params": p}, xi) ** 2).sum(),
+                      argnums=(0, 1))(v["params"], x)
+        g2 = jax.grad(lambda p, xi: (ref(p, xi) ** 2).sum(),
+                      argnums=(0, 1))((k, b), x)
+        np.testing.assert_allclose(
+            g1[0]["conv"]["kernel"], g2[0][0], rtol=1e-5, atol=1e-4)
+        np.testing.assert_allclose(
+            g1[0]["conv"]["bias"], g2[0][1], rtol=1e-5, atol=1e-4)
+        np.testing.assert_allclose(g1[1], g2[1], rtol=1e-5, atol=1e-4)

@@ -5,7 +5,7 @@ via jax.jit(...).lower().compile() and print XLA's buffer accounting
 burning a device run.
 
   PYTHONPATH=/root/repo:$PYTHONPATH python tools/probe_mem.py \
-      [--batch 12] [--remat_loss] [--no_conv3x3_remat]
+      [--batch 12] [--remat_loss] [--grad_accum N] [--rep_size b|l]
 """
 
 import argparse
