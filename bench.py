@@ -66,10 +66,13 @@ def _device_time_per_iter(run_iter, iters):
             if e.get("ph") == "X" and "dur" in e and name.startswith("jit"):
                 durs[name] += e["dur"]
         if not durs:
+            print("bench: trace parsed but no jit module event found",
+                  file=sys.stderr)
             return None
         total_us = durs.most_common(1)[0][1]
         return total_us / 1e6 / iters
-    except Exception:
+    except Exception as e:  # noqa: BLE001
+        print(f"bench: profiler trace failed ({e!r})", file=sys.stderr)
         return None
 
 
@@ -142,7 +145,14 @@ def main():
     np.asarray(fwd(variables, xs[1]))
 
     dt = _device_time_per_iter(lambda i: fwd(variables, xs[i]), iters)
+    timing = "profiler_device_time"
     if dt is None:
+        # wall-clock through the axon tunnel is pessimistic by >5x
+        # (D2H fetch ~10 MB/s) — flag it loudly rather than report it
+        # as if it were device time.
+        print("bench: FALLING BACK to host wall-clock — value is a "
+              "lower bound, not device throughput", file=sys.stderr)
+        timing = "host_wallclock_lower_bound"
         times = []
         for i in range(iters):
             t0 = time.perf_counter()
@@ -158,6 +168,7 @@ def main():
         "unit": "fps/chip",
         "vs_baseline": round(fps / _previous_value(), 4)
         if _previous_value() and size == "b" else 1.0,
+        "timing": timing,
     }
 
     # secondary: training throughput (the round-2/3 optimization target),

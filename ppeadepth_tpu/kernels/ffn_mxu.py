@@ -51,6 +51,24 @@ def resolve_ffn_backend(backend: str, merged: bool, dtype) -> str:
     return backend
 
 
+def backend_for_config(backend: str, rep_size: str) -> str:
+    """Downgrade 'auto' to 'lax' on RepLKNet-XL (measured close-out).
+
+    On XL (dw_ratio 1.5, 384-ch stage-0 depthwise), the Mosaic layout the
+    FFN custom-call pins on its result propagates through XLA layout
+    assignment into ONE downstream 27x27 depthwise conv instance
+    (stage0/blocks_2), which then lowers via the
+    `EmitDepthwiseInputBatchInSublanes` emitter at 507 ms — 6.4x the
+    whole forward (B=8 @ 640x192: 586 ms with the kernel vs 91.3 ms
+    without; the same conv takes 10 ms under the standard layout).
+    B/L keep the kernel: measured 33.1 / 56.1 ms with no poisoned
+    instance. An explicit `--ffn_backend mxu` still forces the kernel.
+    """
+    if backend == "auto" and rep_size == "xl":
+        return "lax"
+    return backend
+
+
 def _tanh_gelu(x):
     return 0.5 * x * (1.0 + jnp.tanh(
         0.7978845608028654 * (x + 0.044715 * x * x * x)))

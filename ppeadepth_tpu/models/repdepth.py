@@ -36,6 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.geometry import transformation_from_parameters
+from ..kernels.ffn_mxu import backend_for_config as _ffn_backend_for
 from ..options import Config
 from ..ops.resize import resize_nearest
 from .depth_decoder import DepthDecoderV2
@@ -67,7 +68,8 @@ class RepDepth(nn.Module):
             dtype=dtype,
             merged=opt.merged,
             drop_path_rate=opt.drop_path_rate,
-            ffn_backend=getattr(opt, "ffn_backend", "auto"),
+            ffn_backend=_ffn_backend_for(
+                getattr(opt, "ffn_backend", "auto"), opt.rep_size),
         )
         self.depth = DepthDecoderV2(
             opt.num_ch_enc, dc=opt.dc, dec_id=opt.dec_id,
@@ -87,7 +89,8 @@ class RepDepth(nn.Module):
             input_adpt=opt.mono_input,
             dtype=dtype,
             merged=opt.merged,
-            ffn_backend=getattr(opt, "ffn_backend", "auto"),
+            ffn_backend=_ffn_backend_for(
+                getattr(opt, "ffn_backend", "auto"), opt.rep_size),
         )
         self.mono_depth = DepthDecoderV2(
             opt.num_ch_enc, dc=opt.dc, dec_id=opt.dec_id,
