@@ -20,6 +20,13 @@ if "host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache: the suite's cost is dominated by CPU XLA
+# compiles of the jitted train steps (2-3 min each on this 1-core host;
+# >90 min for the full suite cold). Identical programs hit the cache on
+# re-runs, cutting repeat suites to the actual test compute. Only
+# compiles >5 s are cached to keep the directory small.
+jax.config.update("jax_compilation_cache_dir", ".jax_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
