@@ -52,7 +52,8 @@ def resolve_ffn_backend(backend: str, merged: bool, dtype) -> str:
 
 
 def backend_for_config(backend: str, rep_size: str) -> str:
-    """Downgrade 'auto' to 'lax' on RepLKNet-XL (measured close-out).
+    """On RepLKNet-XL, 'auto' keeps stage 0 on the exact lax path
+    (measured close-out, refined in round 3).
 
     On XL (dw_ratio 1.5, 384-ch stage-0 depthwise), the Mosaic layout the
     FFN custom-call pins on its result propagates through XLA layout
@@ -61,11 +62,16 @@ def backend_for_config(backend: str, rep_size: str) -> str:
     `EmitDepthwiseInputBatchInSublanes` emitter at 507 ms — 6.4x the
     whole forward (B=8 @ 640x192: 586 ms with the kernel vs 91.3 ms
     without; the same conv takes 10 ms under the standard layout).
-    B/L keep the kernel: measured 33.1 / 56.1 ms with no poisoned
-    instance. An explicit `--ffn_backend mxu` still forces the kernel.
+    Only stage 0 is poisoned, so 'auto' resolves to the per-stage list
+    'lax,auto,auto,auto' (RepLKNet splits it): the stage-1..3 kernels
+    stay and the XL deploy forward measures 89.9 ms vs 91.3 all-lax
+    (tools/probe_xl.py --ffn_backend lax,mxu,mxu,mxu; no poisoned
+    instance — top op 10 ms). B/L keep the kernel everywhere: measured
+    33.1 / 56.1 ms. An explicit `--ffn_backend mxu` still forces the
+    kernel in every stage.
     """
     if backend == "auto" and rep_size == "xl":
-        return "lax"
+        return "lax,auto,auto,auto"
     return backend
 
 

@@ -335,6 +335,15 @@ class RepLKNet(nn.Module):
         ]
         # Swin-style linear drop-path over block pairs (replknet.py:239)
         dpr = np.linspace(0.0, self.drop_path_rate, sum(layers)).tolist()
+        # ffn_backend accepts a per-stage comma list ("lax,mxu,mxu,mxu"):
+        # the XL layout-poisoning fix keeps the fused kernel everywhere
+        # except the stage whose downstream depthwise conv XLA would
+        # otherwise lower on the poisoned layout (kernels/ffn_mxu.py).
+        if "," in self.ffn_backend:
+            ffn_backends = self.ffn_backend.split(",")
+            assert len(ffn_backends) == 4, self.ffn_backend
+        else:
+            ffn_backends = [self.ffn_backend] * 4
         stages = []
         transitions = []
         trans_adapters = []
@@ -357,7 +366,7 @@ class RepLKNet(nn.Module):
                     use_checkpoint=self.use_checkpoint,
                     norm_intermediate=self.norm_intermediate,
                     merged=self.merged,
-                    ffn_backend=self.ffn_backend,
+                    ffn_backend=ffn_backends[i],
                     dtype=self.dtype,
                 )
             )

@@ -138,7 +138,9 @@ class Config:
     cv_backend: str = "auto"  # plane-sweep: auto | lax | mxu | mxu_f32
     warp_backend: str = "auto"  # photometric warp: auto | lax | mxu | mxu_exact
     # fused ConvFFN deploy kernel (kernels/ffn_mxu.py): 'auto' enables it
-    # only for merged-form bf16 inference on TPU (bench/serve path)
+    # only for merged-form bf16 inference on TPU (bench/serve path).
+    # Also accepts a per-encoder-stage comma list ("lax,mxu,mxu,mxu") —
+    # the XL layout-poisoning workaround (kernels/ffn_mxu.py).
     ffn_backend: str = "auto"
     # memory escape hatch: recompute scale-0 loss intermediates in bwd.
     # The BARE profiled step fits bs 12 on 16 GB without it, but the full
@@ -213,8 +215,11 @@ class Config:
             f"unknown --cv_backend {cfg.cv_backend!r}")
         assert cfg.warp_backend in ("auto", "lax", "mxu", "mxu_exact"), (
             f"unknown --warp_backend {cfg.warp_backend!r}")
-        assert cfg.ffn_backend in ("auto", "lax", "mxu"), (
-            f"unknown --ffn_backend {cfg.ffn_backend!r}")
+        ffn_parts = cfg.ffn_backend.split(",")
+        assert len(ffn_parts) in (1, 4) and all(
+            p in ("auto", "lax", "mxu") for p in ffn_parts), (
+            f"unknown --ffn_backend {cfg.ffn_backend!r} "
+            "(one of auto|lax|mxu, or a 4-stage comma list)")
         assert cfg.lk_backend in ("lax", "pallas"), (
             f"unknown --lk_backend {cfg.lk_backend!r}")
         assert cfg.remat_policy in ("full", "save_warps"), (

@@ -25,13 +25,33 @@ def main():
 
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    # share the suite's persistent compile cache (conftest.py). Unlike
+    # the suite, cache >=1 s compiles: this test's cost is three process
+    # launches x many mid-sized compiles, none of which clears the
+    # suite's 5 s bar on its own.
+    jax.config.update("jax_compilation_cache_dir", ".jax_cache_cpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.distributed.initialize(
         coordinator_address=coord, num_processes=nproc, process_id=pid)
     assert jax.process_count() == nproc
     assert len(jax.devices()) == nproc, jax.devices()
 
-    import jax.numpy as jnp
     import numpy as np
+
+    # Establish the gloo communicator NOW, while the processes are still
+    # aligned from initialize(): gloo context creation exchanges ranks
+    # through the coordination KV store with a hardcoded 30 s timeout,
+    # and on this 1-core host the workers' later tracing/compile phases
+    # timeshare, so the FIRST collective can otherwise be reached >30 s
+    # apart (observed flake: "Gloo context initialization failed:
+    # DEADLINE_EXCEEDED"). Subsequent collectives reuse the context.
+    if nproc > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.process_allgather(np.zeros(1, np.float32))
+    print("worker: gloo context established", flush=True)
+
+    import jax.numpy as jnp
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
     from ppeadepth_tpu.options import Config
@@ -58,6 +78,19 @@ def main():
     tx = schedule.make_optimizer(1e-4, steps_per_epoch=10)
     state = create_train_state(model, variables, opt, tx)
     state = M.replicate(state, mesh)
+
+    # Align processes before the FIRST gloo collective: its context
+    # init has a fixed 30 s KV-store timeout, and on a 1-core host the
+    # two workers timeshare through their heavy tracing/compile phase,
+    # so one can reach the collective >30 s before the other (observed
+    # flake: "Gloo context initialization failed: DEADLINE_EXCEEDED").
+    # The coordination-service barrier takes an explicit long timeout.
+    from jax._src import distributed
+
+    if distributed.global_state.client is not None and nproc > 1:
+        distributed.global_state.client.wait_at_barrier(
+            "dist_worker_pre_collective", 1_200_000)
+    print("worker: passed pre-collective barrier", flush=True)
 
     # per-process LOCAL shard of the global batch (what each host's
     # loader would produce) -> multi-host assembly in shard_batch

@@ -67,6 +67,52 @@ def test_ffn_mxu_matches_lax(rng, adpt_test):
     assert np.abs(a - b).mean() / scale < 3e-3
 
 
+def test_per_stage_ffn_backend_list(rng):
+    """RepLKNet accepts a per-stage comma list (the XL layout-poisoning
+    workaround): 'lax,mxu,mxu,mxu' must route stage 0 through the exact
+    lax path and stages 1-3 through the kernel — output within kernel
+    tolerance of all-lax, and an all-lax list is bit-identical to 'lax'."""
+    from ppeadepth_tpu.models.replknet import RepLKNet
+
+    def build(backend):
+        model = RepLKNet(rep_size="t", merged=True, drop_path_rate=0.0,
+                         ffn_backend=backend, dtype=jnp.bfloat16)
+        return model
+
+    x = jnp.asarray(rng.rand(1, 32, 64, 3).astype(np.float32))
+    variables = build("lax").init(
+        {"params": jax.random.PRNGKey(0),
+         "droppath": jax.random.PRNGKey(1)}, x)
+    y_lax = build("lax").apply(variables, x, False)
+    y_list_lax = build("lax,lax,lax,lax").apply(variables, x, False)
+    y_mixed = build("lax,mxu,mxu,mxu").apply(variables, x, False)
+
+    for a, b in zip(jax.tree_util.tree_leaves(y_lax),
+                    jax.tree_util.tree_leaves(y_list_lax)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(y_lax),
+                    jax.tree_util.tree_leaves(y_mixed)):
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        scale = max(np.abs(a).max(), 1e-6)
+        assert np.abs(a - b).max() / scale < 5e-2
+
+
+def test_backend_for_config_xl_per_stage():
+    """'auto' on XL resolves to the per-stage list that keeps stage 0
+    on lax (the poisoned conv lives in stage 0) and the kernel gate on
+    stages 1-3 (measured 89.9 vs 91.3 ms all-lax, BENCHMARKS.md)."""
+    from ppeadepth_tpu.kernels.ffn_mxu import backend_for_config
+    from ppeadepth_tpu.options import Config
+
+    assert backend_for_config("auto", "xl") == "lax,auto,auto,auto"
+    assert backend_for_config("auto", "b") == "auto"
+    assert backend_for_config("mxu", "xl") == "mxu"  # explicit wins
+    assert backend_for_config("lax,mxu,mxu,mxu", "xl") == "lax,mxu,mxu,mxu"
+    # the resolved list must pass Config validation
+    Config(ffn_backend=backend_for_config("auto", "xl"))
+
+
 def test_ffn_auto_stays_lax_off_tpu(rng):
     """'auto' must not switch to the kernel on CPU / non-merged /
     non-bf16 configs."""
