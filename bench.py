@@ -108,12 +108,22 @@ def main():
     )()
     if os.environ.get("PPEA_BENCH_MERGED", "1") != "0":
         # deploy form: BN-fold + small-kernel merge (structural_reparam)
-        from ppeadepth_tpu.ckpt.deploy import structural_reparam
+        from ppeadepth_tpu.ckpt.deploy import banded_tables, structural_reparam
 
         mp, ms = structural_reparam(
             variables["params"], variables["batch_stats"]
         )
         variables = {"params": mp, "batch_stats": ms}
+        if (
+            jax.default_backend() == "tpu"
+            and dtype == jnp.bfloat16
+            and opt.lk_deploy_backend != "lax"
+        ):
+            # banded MXU weight tables for the stage-0/1 LK convs
+            # (kernels/banded_conv.py; resolution-bound, built once)
+            bt = banded_tables(mp, (H, W))
+            if bt:
+                variables["banded"] = bt
         model = RepDepth(opt.replace(merged=True))
     variables = jax.tree_util.tree_map(
         lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, variables

@@ -58,3 +58,41 @@ def structural_reparam(params: Dict, batch_stats: Dict) -> Tuple[Dict, Dict]:
         traverse_util.unflatten_dict(flat_p),
         traverse_util.unflatten_dict(flat_s),
     )
+
+
+def banded_tables(merged_params: Dict, input_hw, stages=(0, 1),
+                  dtype=None) -> Dict:
+    """Build the 'banded' variable collection for a merged param tree.
+
+    For every `lkb_reparam/kernel` under an encoder stage in `stages`,
+    precompute the banded (Toeplitz) weight table
+    kernels/banded_conv.build_T_t at that stage's feature width
+    (input_W / 4 / 2**stage) — the deploy-time weight transform for the
+    MXU banded depthwise kernel, mirroring how this function's BN-fold
+    is itself a deploy-time weight transform. Tables are resolution-
+    bound: DepthwiseConv falls back to lax when shapes don't match.
+
+    Returns a tree shaped like the params tree with a 'T' leaf per
+    banded conv — pass as variables={'banded': ...} alongside params.
+    """
+    import jax.numpy as jnp
+
+    from ..kernels.banded_conv import build_T_t
+
+    if dtype is None:
+        dtype = jnp.bfloat16
+    flat_p = traverse_util.flatten_dict(merged_params)
+    out = {}
+    for key, val in flat_p.items():
+        if key[-2:] != ("lkb_reparam", "kernel"):
+            continue
+        stage = next(
+            (int(part[7:]) for part in key
+             if part.startswith("stages_")), None)
+        if stage is None or stage not in stages:
+            continue
+        W = input_hw[1] // (4 * 2 ** stage)
+        if W % 8:
+            continue
+        out[key[:-1] + ("T",)] = build_T_t(val, W).astype(dtype)
+    return traverse_util.unflatten_dict(out)

@@ -24,12 +24,22 @@ from ..kernels.lk_conv import depthwise_conv2d
 class DepthwiseConv(nn.Module):
     """Depthwise conv whose execution routes through kernels.lk_conv
     (lax or pallas backend); owns the HWIO weight with I=1 (always f32;
-    compute follows the input dtype)."""
+    compute follows the input dtype).
+
+    `banded=True` (deploy-only, set by ReparamLKConv via
+    --lk_deploy_backend) additionally looks for a per-conv banded
+    weight table in the 'banded' variable collection — built by
+    ckpt/deploy.banded_tables from the merged kernel — and runs the
+    MXU banded-matmul kernel (kernels/banded_conv.py) when the input
+    satisfies its alignment contract (stride 1, B % 8 == 0, matching
+    table width). Anything else falls back to the lax path with the
+    ordinary 'kernel' param, which deploy trees keep alongside T."""
 
     features: int
     kernel_size: int
     stride: int = 1
     use_bias: bool = False
+    banded: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -39,11 +49,34 @@ class DepthwiseConv(nn.Module):
             nn.initializers.lecun_normal(),
             (k, k, 1, self.features),
         )
-        y = depthwise_conv2d(x, w.astype(x.dtype), stride=self.stride)
+        y = self._banded(x) if self.banded else None
+        if y is None:
+            y = depthwise_conv2d(x, w.astype(x.dtype), stride=self.stride)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + b.astype(y.dtype)
         return y
+
+    def _banded(self, x):
+        if not (
+            x.ndim == 4
+            and self.stride == 1
+            and x.shape[0] % 8 == 0
+            and x.shape[2] % 8 == 0
+            and self.has_variable("banded", "T")
+        ):
+            return None
+        T = self.get_variable("banded", "T")
+        W = x.shape[2]
+        if T.shape != (self.features, W, self.kernel_size * W):
+            return None  # table built for a different resolution
+        from ..kernels.banded_conv import banded_depthwise
+
+        y = banded_depthwise(
+            x.astype(T.dtype), T, self.kernel_size,
+            interpret=jax.default_backend() != "tpu",
+        )
+        return y.astype(x.dtype)
 
 
 class ConvBN(nn.Module):

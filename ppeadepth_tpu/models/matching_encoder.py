@@ -49,6 +49,7 @@ class RepLKMatching(nn.Module):
     dtype: object = None
     drop_path_rate: float = 0.3  # reference hardcodes 0.3 (repdepth.py:95)
     ffn_backend: str = "lax"
+    lk_deploy_backend: str = "lax"
 
     def setup(self):
         self.replk = RepLKNet(
@@ -63,6 +64,7 @@ class RepLKMatching(nn.Module):
             input_adpt=self.input_adpt,
             merged=self.merged,
             ffn_backend=self.ffn_backend,
+            lk_deploy_backend=self.lk_deploy_backend,
             dtype=self.dtype,
         )
         # Conv3x3(C0 + D -> C0) + ReLU; plain conv with bias, no BN

@@ -70,6 +70,7 @@ class RepDepth(nn.Module):
             drop_path_rate=opt.drop_path_rate,
             ffn_backend=_ffn_backend_for(
                 getattr(opt, "ffn_backend", "auto"), opt.rep_size),
+            lk_deploy_backend=getattr(opt, "lk_deploy_backend", "auto"),
         )
         self.depth = DepthDecoderV2(
             opt.num_ch_enc, dc=opt.dc, dec_id=opt.dec_id,
@@ -91,6 +92,7 @@ class RepDepth(nn.Module):
             merged=opt.merged,
             ffn_backend=_ffn_backend_for(
                 getattr(opt, "ffn_backend", "auto"), opt.rep_size),
+            lk_deploy_backend=getattr(opt, "lk_deploy_backend", "auto"),
         )
         self.mono_depth = DepthDecoderV2(
             opt.num_ch_enc, dc=opt.dc, dec_id=opt.dec_id,

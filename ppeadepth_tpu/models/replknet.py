@@ -34,6 +34,7 @@ import numpy as np
 
 from .adapters import BAdapter, ChannelAdapter, InputAdapter
 from .blocks import ConvBN, DepthwiseConv, DropPath
+from ..kernels.banded_conv import resolve_lk_deploy_backend, stage_backends
 
 REPLK_CONFIGS = {
     "b": dict(
@@ -78,6 +79,7 @@ class ReparamLKConv(nn.Module):
     small_kernel: Optional[int]
     stride: int = 1
     merged: bool = False
+    lk_deploy_backend: str = "lax"
     dtype: Optional[object] = None
 
     @nn.compact
@@ -85,9 +87,12 @@ class ReparamLKConv(nn.Module):
         if self.dtype is not None:
             x = x.astype(self.dtype)
         if self.merged:
+            backend = resolve_lk_deploy_backend(
+                self.lk_deploy_backend, self.merged, self.dtype or x.dtype)
             return DepthwiseConv(
                 self.features, self.kernel_size, self.stride,
-                use_bias=True, name="lkb_reparam",
+                use_bias=True, banded=backend == "banded",
+                name="lkb_reparam",
             )(x)
         out = ConvBN(
             self.features, self.kernel_size, self.stride,
@@ -111,6 +116,7 @@ class RepLKBlock(nn.Module):
     g_blk: float = 1.0
     ratio: float = 0.25
     merged: bool = False
+    lk_deploy_backend: str = "lax"
     dtype: Optional[object] = None
 
     @nn.compact
@@ -129,7 +135,8 @@ class RepLKBlock(nn.Module):
                      name="pw1")(out, train)
         out = ReparamLKConv(
             self.dw_channels, self.lk_size, self.small_kernel,
-            merged=self.merged, dtype=self.dtype, name="large_kernel",
+            merged=self.merged, lk_deploy_backend=self.lk_deploy_backend,
+            dtype=self.dtype, name="large_kernel",
         )(out, train)
         out = nn.relu(out)
         out = ConvBN(self.channels, 1, dtype=self.dtype,
@@ -220,6 +227,7 @@ class RepLKNetStage(nn.Module):
     norm_intermediate: bool = False
     merged: bool = False
     ffn_backend: str = "lax"
+    lk_deploy_backend: str = "lax"
     dtype: Optional[object] = None
 
     def setup(self):
@@ -243,6 +251,7 @@ class RepLKNetStage(nn.Module):
                     g_blk=self.g_blk,
                     ratio=self.ratio,
                     merged=self.merged,
+                    lk_deploy_backend=self.lk_deploy_backend,
                     dtype=self.dtype,
                 )
             )
@@ -303,6 +312,7 @@ class RepLKNet(nn.Module):
     use_checkpoint: bool = False
     merged: bool = False
     ffn_backend: str = "lax"
+    lk_deploy_backend: str = "lax"
     norm_intermediate: bool = False
     # adapter config; adpt_test < 0 disables adapters entirely
     adpt_test: int = -1
@@ -344,6 +354,9 @@ class RepLKNet(nn.Module):
             assert len(ffn_backends) == 4, self.ffn_backend
         else:
             ffn_backends = [self.ffn_backend] * 4
+        # same per-stage split for the banded LK deploy backend ('auto'
+        # gates to stages 0-1, where banded measures faster than lax)
+        lk_backends = stage_backends(self.lk_deploy_backend)
         stages = []
         transitions = []
         trans_adapters = []
@@ -367,6 +380,7 @@ class RepLKNet(nn.Module):
                     norm_intermediate=self.norm_intermediate,
                     merged=self.merged,
                     ffn_backend=ffn_backends[i],
+                    lk_deploy_backend=lk_backends[i],
                     dtype=self.dtype,
                 )
             )

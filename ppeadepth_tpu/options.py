@@ -142,6 +142,10 @@ class Config:
     # Also accepts a per-encoder-stage comma list ("lax,mxu,mxu,mxu") —
     # the XL layout-poisoning workaround (kernels/ffn_mxu.py).
     ffn_backend: str = "auto"
+    # banded MXU large-kernel conv for merged deploy inference
+    # (kernels/banded_conv.py): 'auto' enables it for stages 0-1 on TPU
+    # bf16 (measured faster); also accepts a 4-stage comma list.
+    lk_deploy_backend: str = "auto"
     # memory escape hatch: recompute scale-0 loss intermediates in bwd.
     # The BARE profiled step fits bs 12 on 16 GB without it, but the full
     # Trainer does not (device-prefetched next batch + sharded-step buffer
@@ -222,6 +226,11 @@ class Config:
             "(one of auto|lax|mxu, or a 4-stage comma list)")
         assert cfg.lk_backend in ("lax", "pallas"), (
             f"unknown --lk_backend {cfg.lk_backend!r}")
+        lkd_parts = cfg.lk_deploy_backend.split(",")
+        assert len(lkd_parts) in (1, 4) and all(
+            p in ("auto", "lax", "banded") for p in lkd_parts), (
+            f"unknown --lk_deploy_backend {cfg.lk_deploy_backend!r} "
+            "(one of auto|lax|banded, or a 4-stage comma list)")
         assert cfg.remat_policy in ("full", "save_warps"), (
             f"unknown --remat_policy {cfg.remat_policy!r}")
         assert cfg.frozen_bf16 in ("auto", "on", "off"), (

@@ -76,6 +76,19 @@ class InferenceSession:
             )
             variables = {"params": mp, "batch_stats": ms}
             opt = opt.replace(merged=True)
+            if (
+                jax.default_backend() == "tpu"
+                and dtype == "bfloat16"
+                and opt.lk_deploy_backend != "lax"
+            ):
+                # banded MXU tables for the stage-0/1 LK convs
+                # (kernels/banded_conv.py; resolution-bound — convs fall
+                # back to lax at other input sizes or B % 8 != 0)
+                from .ckpt.deploy import banded_tables
+
+                bt = banded_tables(mp, (opt.height, opt.width))
+                if bt:
+                    variables["banded"] = bt
 
         self.opt = opt
         self.model = RepDepth(opt)
