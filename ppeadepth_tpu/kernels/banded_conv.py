@@ -104,14 +104,115 @@ def build_T_t(kernel, W):
         T.reshape(C, k, W, W), (0, 3, 1, 2)).reshape(C, W, k * W)
 
 
-def _kernel(k, B, HB, W, n_acc, t_transposed, x_ref, t_ref, o_ref,
-            *acc_refs):
-    # n_acc interleaved accumulators break the dot->dot RAW dependency
-    # chain so consecutive MXU dispatches can pipeline
+def build_T_t_mm(kernel, W, dtype=None):
+    """Gather-free build_T_t for PER-STEP in-jit use (training path).
+
+    build_T_t's krows[:, dx, :] advanced-index lowers to a TPU gather
+    (~140 GB/s effective — ~3 ms for the 406 MB stage-0 table, slower
+    than the conv it feeds). This form contracts the kernel against the
+    0/1 diagonal-indicator constant D[j, o, i] = (i - o + half == j)
+    with ONE matmul (6.3 GFLOP at stage 0, ~0.1 ms): exactly one j
+    matches per (o, i), so the result equals the gather build exactly
+    even at bf16 — each output entry is a single product by 1.0.
+    Casting BEFORE the dot keeps the big [k, C, W, W] intermediate at
+    the target width. Returns the transposed layout [C, W_out, k*W_in].
+    """
+    k = kernel.shape[0]
+    half = k // 2
+    C = kernel.shape[-1]
+    if dtype is not None:
+        kernel = kernel.astype(dtype)
+    wo = jax.lax.broadcasted_iota(jnp.int32, (W, W), 0)
+    wi = jax.lax.broadcasted_iota(jnp.int32, (W, W), 1)
+    d_oi = (wi - wo + half)[None, :, :] == jnp.arange(k)[:, None, None]
+    D = d_oi.astype(kernel.dtype).reshape(k, W * W)
+    krows = kernel[:, :, 0, :]  # [k(dy), k(j), C]
+    t = jax.lax.dot_general(  # [k(dy), C, W*W]
+        krows, D, (((1,), (0,)), ((), ())),
+        preferred_element_type=kernel.dtype)
+    return jnp.transpose(
+        t.reshape(k, C, W, W), (1, 2, 0, 3)).reshape(C, W, k * W)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def banded_depthwise_train(x, w, k, interpret=False, mm_dtype=jnp.bfloat16):
+    """Differentiable banded depthwise conv for the TRAINING path.
+
+    x: [B, H, W, C] NHWC; w: [k, k, 1, C] HWIO depthwise weight (the
+    frozen backbone conv param — tables are rebuilt from it per step,
+    ~0.3 ms of matmul+HBM at stage 0, so no persistent table memory).
+    Gradients: d/dx is the flipped-kernel banded conv (same kernel,
+    flipped tables); d/dw is the exact lax weight-grad pullback — under
+    PPEA's frozen backbone it is dead code XLA eliminates, and when the
+    conv DOES train it stays correct (unlike warp_mxu's zeros-cotangent
+    image operand). Reference op: replknet.py:15-37.
+    """
+    W = x.shape[2]
+    Tt = build_T_t_mm(w, W, mm_dtype)
+    return banded_depthwise(x, Tt, k, interpret=interpret)
+
+
+def _train_fwd(x, w, k, interpret, mm_dtype):
+    return banded_depthwise_train(x, w, k, interpret, mm_dtype), (x, w)
+
+
+def _train_bwd(k, interpret, mm_dtype, res, g):
+    x, w = res
+    W = x.shape[2]
+    # correlation transpose == conv with the spatially flipped kernel
+    Tbt = build_T_t_mm(w[::-1, ::-1], W, mm_dtype)
+    dx = banded_depthwise(g, Tbt, k, interpret=interpret).astype(x.dtype)
+    # exact weight grad via the lax pullback (frozen backbone -> DCE'd)
+    from .lk_conv import _depthwise_lax
+
+    _, pull = jax.vjp(
+        lambda w_: _depthwise_lax(x, w_.astype(x.dtype), 1, k // 2), w)
+    (dw,) = pull(g.astype(x.dtype))
+    return dx, dw
+
+
+banded_depthwise_train.defvjp(_train_fwd, _train_bwd)
+
+
+def resolve_lk_train_backend(token: str, dtype) -> str:
+    """Per-stage resolution for the TRAINING banded backend: 'auto'
+    enables it only for bf16 compute on TPU (same dtype gate as the
+    cost-volume/warp kernels); explicit 'banded' is honored everywhere
+    (interpret mode off-TPU — test path)."""
+    if token != "auto":
+        return token
+    if jax.default_backend() == "tpu" and dtype == jnp.bfloat16:
+        return "banded"
+    return "lax"
+
+
+def _acc_classes(k, B):
+    """Sublane residues of the dy row shifts, and accumulators per
+    class: the dy*B slice offsets fall in {0..7}; each non-zero residue
+    class accumulates from an ALIGNED slice `off` rows early into its
+    own accumulator, read back shifted (+off rows) once at the end —
+    one static-offset VMEM relayout per class per grid step instead of
+    one per dy. With a single class (B % 8 == 0) the accumulators are
+    interleaved purely to break the dot->dot RAW dependency chain
+    (measured: n_acc=4 beats 2 by ~7% on stage 1)."""
+    classes = sorted({(dy * B) % 8 for dy in range(k)})
+    n_per = 4 if len(classes) == 1 else (2 if len(classes) == 2 else 1)
+    return classes, n_per
+
+
+def _kernel(k, B, HB, W, t_transposed, x_ref, t_ref, o_ref, *acc_refs):
+    classes, n_per = _acc_classes(k, B)
+    accs = {
+        o: list(acc_refs[i * n_per: (i + 1) * n_per])
+        for i, o in enumerate(classes)
+    }
     for a in acc_refs:
         a[...] = jnp.zeros_like(a)
+    counts = {o: 0 for o in classes}
     for dy in range(k):
-        lhs = x_ref[0, dy * B: dy * B + HB, :]
+        off = (dy * B) % 8
+        rows = HB + 8 if off else HB
+        lhs = x_ref[0, dy * B - off: dy * B - off + rows, :]
         if t_transposed:
             # T stored [C, W_out, k*W_in] (no HBM lane padding for
             # W % 128 != 0): contract lhs lanes with rhs lanes
@@ -122,23 +223,37 @@ def _kernel(k, B, HB, W, n_acc, t_transposed, x_ref, t_ref, o_ref,
         else:
             rhs = t_ref[0, dy * W: (dy + 1) * W, :]
             d = jnp.dot(lhs, rhs, preferred_element_type=jnp.float32)
-        acc_refs[dy % n_acc][...] += d
-    tot = acc_refs[0][...]
-    for a in acc_refs[1:]:
-        tot = tot + a[...]
+        pool = accs[off]
+        pool[counts[off] % len(pool)][...] += d
+        counts[off] += 1
+    tot = None
+    for o in classes:
+        s = accs[o][0][...]
+        for a in accs[o][1:]:
+            s = s + a[...]
+        # for off != 0, d[q] holds X[dy*B - off + q] @ T_dy: the
+        # contribution to output row r sits at q = r + off
+        part = s if o == 0 else s[o: o + HB, :]
+        tot = part if tot is None else tot + part
     o_ref[0] = tot.astype(o_ref.dtype)
 
 
-def _pallas(xh, T, k, B, H, out_dtype, interpret, n_acc=4):
-    C, HpB, W = xh.shape
+def _pallas(xh, T, k, B, H, out_dtype, interpret):
+    C, HpB8, W = xh.shape
     HB = H * B
+    classes, n_per = _acc_classes(k, B)
     t_transposed = T.shape[1] == W  # [C, W, k*W] vs [C, k*W, W]
     t_block = (1, W, k * W) if t_transposed else (1, k * W, W)
+    scratch = []
+    for o in classes:
+        rows = HB if o == 0 else HB + 8
+        scratch += [pltpu.VMEM((rows, W), jnp.float32)
+                    for _ in range(n_per)]
     return pl.pallas_call(
-        functools.partial(_kernel, k, B, HB, W, n_acc, t_transposed),
+        functools.partial(_kernel, k, B, HB, W, t_transposed),
         grid=(C,),
         in_specs=[
-            pl.BlockSpec((1, HpB, W), lambda c: (c, 0, 0),
+            pl.BlockSpec((1, HpB8, W), lambda c: (c, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(t_block, lambda c: (c, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -146,8 +261,7 @@ def _pallas(xh, T, k, B, H, out_dtype, interpret, n_acc=4):
         out_specs=pl.BlockSpec((1, HB, W), lambda c: (c, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((C, HB, W), out_dtype),
-        scratch_shapes=[
-            pltpu.VMEM((HB, W), jnp.float32) for _ in range(n_acc)],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
@@ -155,21 +269,27 @@ def _pallas(xh, T, k, B, H, out_dtype, interpret, n_acc=4):
     )(xh, T)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "interpret", "n_acc"))
-def banded_depthwise(x, T, k, interpret=False, n_acc=4):
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def banded_depthwise(x, T, k, interpret=False):
     """SAME-padded stride-1 depthwise conv of NHWC x with banded T.
 
-    x: [B, H, W, C] (bf16 recommended); T: [C, k*W, W] from build_T.
-    Requires B % 8 == 0 (sublane-aligned dy shifts) — callers fall back
-    to lax otherwise. Returns [B, H, W, C] in x.dtype.
+    x: [B, H, W, C] (bf16 recommended); T: [C, k*W, W] from build_T or
+    [C, W, k*W] from build_T_t. Any batch size: dy row shifts at
+    non-zero sublane residues accumulate from an aligned slice into a
+    per-residue accumulator read back shifted at the end (one relayout
+    per residue class per grid step; B % 8 == 0 has a single class and
+    zero relayouts). Returns [B, H, W, C] in x.dtype.
     """
     B, H, W, C = x.shape
-    assert B % 8 == 0, B
     assert T.shape in ((C, k * W, W), (C, W, k * W)), (T.shape, C, k, W)
     half = k // 2
     xp = jnp.pad(x, ((0, 0), (half, half), (0, 0), (0, 0)))
-    # H-major flat rows: [C, Hp*B, W], row = hp*B + b
+    # H-major flat rows: [C, Hp*B, W], row = hp*B + b; 8 zero rows
+    # appended so the off-residue slices (length HB+8) never run off
+    # the end (max end = HpB + 8 - off)
+    tail = 8 if any((dy * B) % 8 for dy in range(k)) else 0
     xh = jnp.transpose(xp, (3, 1, 0, 2)).reshape(C, (H + k - 1) * B, W)
-    out = _pallas(xh.astype(T.dtype), T, k, B, H, x.dtype, interpret,
-                  n_acc=n_acc)
+    if tail:
+        xh = jnp.pad(xh, ((0, 0), (0, tail), (0, 0)))
+    out = _pallas(xh.astype(T.dtype), T, k, B, H, x.dtype, interpret)
     return jnp.transpose(out.reshape(C, H, B, W), (2, 1, 3, 0))

@@ -33,13 +33,22 @@ class DepthwiseConv(nn.Module):
     MXU banded-matmul kernel (kernels/banded_conv.py) when the input
     satisfies its alignment contract (stride 1, B % 8 == 0, matching
     table width). Anything else falls back to the lax path with the
-    ordinary 'kernel' param, which deploy trees keep alongside T."""
+    ordinary 'kernel' param, which deploy trees keep alongside T.
+
+    `banded_train=True` (set by ReparamLKConv via --lk_train_backend)
+    runs the DIFFERENTIABLE banded kernel in training instead: tables
+    are rebuilt from the conv param inside the step (no persistent
+    HBM), d/dx is the flipped-table banded conv, d/dw the exact lax
+    pullback (DCE'd under PPEA's frozen backbone). Requires stride 1,
+    per-device batch % 4 == 0, W % 8 == 0; dispatches per-shard over
+    the active dp mesh (pallas custom calls do not GSPMD-partition)."""
 
     features: int
     kernel_size: int
     stride: int = 1
     use_bias: bool = False
     banded: bool = False
+    banded_train: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -50,6 +59,8 @@ class DepthwiseConv(nn.Module):
             (k, k, 1, self.features),
         )
         y = self._banded(x) if self.banded else None
+        if y is None and self.banded_train:
+            y = self._banded_train(x, w)
         if y is None:
             y = depthwise_conv2d(x, w.astype(x.dtype), stride=self.stride)
         if self.use_bias:
@@ -61,7 +72,6 @@ class DepthwiseConv(nn.Module):
         if not (
             x.ndim == 4
             and self.stride == 1
-            and x.shape[0] % 8 == 0
             and x.shape[2] % 8 == 0
             and self.has_variable("banded", "T")
         ):
@@ -78,6 +88,29 @@ class DepthwiseConv(nn.Module):
         )
         return y.astype(x.dtype)
 
+    def _banded_train(self, x, w):
+        from ..kernels.banded_conv import banded_depthwise_train
+        from ..parallel.mesh import shard_batch_call
+
+        if self.is_initializing() or not (
+            x.ndim == 4
+            and self.stride == 1
+            and x.shape[2] % 8 == 0
+        ):
+            return None
+        interp = jax.default_backend() != "tpu"
+        k = self.kernel_size
+        # tables follow the compute dtype, like the lax path's
+        # w.astype(x.dtype): bf16 under the training compute policy,
+        # f32 (exact vs lax) under f32 compute
+        mm_dtype = x.dtype
+        call = shard_batch_call(
+            lambda xx, ww: banded_depthwise_train(
+                xx, ww, k, interp, mm_dtype),
+            in_specs=(True, False), out_specs=True,
+        )
+        return call(x, w)
+
 
 class ConvBN(nn.Module):
     """conv(bias-free) + BN [+ ReLU]; depthwise when groups == features.
@@ -89,6 +122,7 @@ class ConvBN(nn.Module):
     padding: Optional[int] = None
     groups: int = 1
     relu: bool = False
+    banded_train: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -101,7 +135,8 @@ class ConvBN(nn.Module):
             if pad != self.kernel_size // 2:
                 raise ValueError("depthwise path assumes same padding")
             x = DepthwiseConv(
-                self.features, self.kernel_size, self.stride, name="conv"
+                self.features, self.kernel_size, self.stride,
+                banded_train=self.banded_train, name="conv"
             )(x)
         else:
             x = nn.Conv(

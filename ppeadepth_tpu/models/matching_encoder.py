@@ -50,6 +50,7 @@ class RepLKMatching(nn.Module):
     drop_path_rate: float = 0.3  # reference hardcodes 0.3 (repdepth.py:95)
     ffn_backend: str = "lax"
     lk_deploy_backend: str = "lax"
+    lk_train_backend: str = "lax"
 
     def setup(self):
         self.replk = RepLKNet(
@@ -65,6 +66,7 @@ class RepLKMatching(nn.Module):
             merged=self.merged,
             ffn_backend=self.ffn_backend,
             lk_deploy_backend=self.lk_deploy_backend,
+            lk_train_backend=self.lk_train_backend,
             dtype=self.dtype,
         )
         # Conv3x3(C0 + D -> C0) + ReLU; plain conv with bias, no BN

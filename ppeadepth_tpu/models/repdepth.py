@@ -71,6 +71,7 @@ class RepDepth(nn.Module):
             ffn_backend=_ffn_backend_for(
                 getattr(opt, "ffn_backend", "auto"), opt.rep_size),
             lk_deploy_backend=getattr(opt, "lk_deploy_backend", "auto"),
+            lk_train_backend=getattr(opt, "lk_train_backend", "lax"),
         )
         self.depth = DepthDecoderV2(
             opt.num_ch_enc, dc=opt.dc, dec_id=opt.dec_id,
@@ -93,6 +94,7 @@ class RepDepth(nn.Module):
             ffn_backend=_ffn_backend_for(
                 getattr(opt, "ffn_backend", "auto"), opt.rep_size),
             lk_deploy_backend=getattr(opt, "lk_deploy_backend", "auto"),
+            lk_train_backend=getattr(opt, "lk_train_backend", "lax"),
         )
         self.mono_depth = DepthDecoderV2(
             opt.num_ch_enc, dc=opt.dc, dec_id=opt.dec_id,

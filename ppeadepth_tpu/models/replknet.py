@@ -34,7 +34,8 @@ import numpy as np
 
 from .adapters import BAdapter, ChannelAdapter, InputAdapter
 from .blocks import ConvBN, DepthwiseConv, DropPath
-from ..kernels.banded_conv import resolve_lk_deploy_backend, stage_backends
+from ..kernels.banded_conv import (
+    resolve_lk_deploy_backend, resolve_lk_train_backend, stage_backends)
 
 REPLK_CONFIGS = {
     "b": dict(
@@ -80,6 +81,7 @@ class ReparamLKConv(nn.Module):
     stride: int = 1
     merged: bool = False
     lk_deploy_backend: str = "lax"
+    lk_train_backend: str = "lax"
     dtype: Optional[object] = None
 
     @nn.compact
@@ -94,9 +96,13 @@ class ReparamLKConv(nn.Module):
                 use_bias=True, banded=backend == "banded",
                 name="lkb_reparam",
             )(x)
+        train_backend = resolve_lk_train_backend(
+            self.lk_train_backend, self.dtype or x.dtype)
         out = ConvBN(
             self.features, self.kernel_size, self.stride,
-            groups=self.features, dtype=self.dtype, name="lkb_origin",
+            groups=self.features, dtype=self.dtype,
+            banded_train=train_backend == "banded" and self.stride == 1,
+            name="lkb_origin",
         )(x, train)
         if self.small_kernel is not None:
             out = out + ConvBN(
@@ -117,6 +123,7 @@ class RepLKBlock(nn.Module):
     ratio: float = 0.25
     merged: bool = False
     lk_deploy_backend: str = "lax"
+    lk_train_backend: str = "lax"
     dtype: Optional[object] = None
 
     @nn.compact
@@ -136,6 +143,7 @@ class RepLKBlock(nn.Module):
         out = ReparamLKConv(
             self.dw_channels, self.lk_size, self.small_kernel,
             merged=self.merged, lk_deploy_backend=self.lk_deploy_backend,
+            lk_train_backend=self.lk_train_backend,
             dtype=self.dtype, name="large_kernel",
         )(out, train)
         out = nn.relu(out)
@@ -228,6 +236,7 @@ class RepLKNetStage(nn.Module):
     merged: bool = False
     ffn_backend: str = "lax"
     lk_deploy_backend: str = "lax"
+    lk_train_backend: str = "lax"
     dtype: Optional[object] = None
 
     def setup(self):
@@ -252,6 +261,7 @@ class RepLKNetStage(nn.Module):
                     ratio=self.ratio,
                     merged=self.merged,
                     lk_deploy_backend=self.lk_deploy_backend,
+                    lk_train_backend=self.lk_train_backend,
                     dtype=self.dtype,
                 )
             )
@@ -313,6 +323,7 @@ class RepLKNet(nn.Module):
     merged: bool = False
     ffn_backend: str = "lax"
     lk_deploy_backend: str = "lax"
+    lk_train_backend: str = "lax"
     norm_intermediate: bool = False
     # adapter config; adpt_test < 0 disables adapters entirely
     adpt_test: int = -1
@@ -357,6 +368,7 @@ class RepLKNet(nn.Module):
         # same per-stage split for the banded LK deploy backend ('auto'
         # gates to stages 0-1, where banded measures faster than lax)
         lk_backends = stage_backends(self.lk_deploy_backend)
+        lk_train_backends = stage_backends(self.lk_train_backend)
         stages = []
         transitions = []
         trans_adapters = []
@@ -381,6 +393,7 @@ class RepLKNet(nn.Module):
                     merged=self.merged,
                     ffn_backend=ffn_backends[i],
                     lk_deploy_backend=lk_backends[i],
+                    lk_train_backend=lk_train_backends[i],
                     dtype=self.dtype,
                 )
             )

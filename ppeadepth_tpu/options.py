@@ -146,6 +146,14 @@ class Config:
     # (kernels/banded_conv.py): 'auto' enables it for stages 0-1 on TPU
     # bf16 (measured faster); also accepts a 4-stage comma list.
     lk_deploy_backend: str = "auto"
+    # differentiable banded conv for the TRAINING large-kernel convs
+    # (stages 0-1; tables rebuilt in-step so no persistent HBM, d/dx is
+    # the flipped-table banded conv, d/dw stays exact for unfrozen
+    # runs). 'auto' = banded on TPU bf16: measured 476 -> 440 ms/step
+    # at bs 12 (+8.2% imgs/s; stage0 fwd+bwd 2.24x, stage1 3.03x;
+    # loss 0.8581 vs 0.8585 — BENCHMARKS.md). Also accepts a 4-stage
+    # comma list like ffn_backend / lk_deploy_backend.
+    lk_train_backend: str = "auto"
     # memory escape hatch: recompute scale-0 loss intermediates in bwd.
     # The BARE profiled step fits bs 12 on 16 GB without it, but the full
     # Trainer does not (device-prefetched next batch + sharded-step buffer
@@ -230,6 +238,11 @@ class Config:
         assert len(lkd_parts) in (1, 4) and all(
             p in ("auto", "lax", "banded") for p in lkd_parts), (
             f"unknown --lk_deploy_backend {cfg.lk_deploy_backend!r} "
+            "(one of auto|lax|banded, or a 4-stage comma list)")
+        lkt_parts = cfg.lk_train_backend.split(",")
+        assert len(lkt_parts) in (1, 4) and all(
+            p in ("auto", "lax", "banded") for p in lkt_parts), (
+            f"unknown --lk_train_backend {cfg.lk_train_backend!r} "
             "(one of auto|lax|banded, or a 4-stage comma list)")
         assert cfg.remat_policy in ("full", "save_warps"), (
             f"unknown --remat_policy {cfg.remat_policy!r}")

@@ -33,6 +33,96 @@ def test_banded_matches_lax(rng, k, W, transposed):
         np.asarray(o_b), np.asarray(o_l), rtol=0, atol=1e-5)
 
 
+@pytest.mark.parametrize("B", [4, 12])
+def test_banded_offset4_batches_match_lax(rng, B):
+    """B % 8 == 4 exercises the offset-4 residue-class accumulators
+    (aligned slice 4 rows early + shifted read-back)."""
+    k, W, H, C = 7, 16, 6, 12
+    x = jnp.asarray((rng.rand(B, H, W, C) - 0.5).astype(np.float32))
+    w = jnp.asarray(rng.randn(k, k, 1, C).astype(np.float32) * 0.1)
+    T = banded_conv.build_T_t(w, W)
+    o_b = banded_conv.banded_depthwise(x, T, k, interpret=True)
+    o_l = lk_conv._depthwise_lax(x, w, 1, k // 2)
+    np.testing.assert_allclose(
+        np.asarray(o_b), np.asarray(o_l), rtol=0, atol=1e-5)
+
+
+def test_build_T_t_mm_matches_gather(rng):
+    """The in-jit matmul build (training path) is bit-identical to the
+    gather build (exactly one indicator matches per entry)."""
+    for k, W in ((5, 8), (13, 24)):
+        w = jnp.asarray(rng.randn(k, k, 1, 6).astype(np.float32))
+        a = np.asarray(banded_conv.build_T_t(w, W))
+        b = np.asarray(banded_conv.build_T_t_mm(w, W))
+        np.testing.assert_array_equal(a, b)
+
+
+def test_banded_train_value_and_grads_match_lax(rng):
+    """banded_depthwise_train: forward, d/dx AND d/dw equal the lax
+    depthwise conv's (f32 tables, interpret mode)."""
+    k, B, H, W, C = 5, 12, 6, 16, 8
+    x = jnp.asarray((rng.rand(B, H, W, C) - 0.5).astype(np.float32))
+    w = jnp.asarray(rng.randn(k, k, 1, C).astype(np.float32) * 0.1)
+    cot = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+
+    def f_banded(x_, w_):
+        y = banded_conv.banded_depthwise_train(
+            x_, w_, k, True, jnp.float32)
+        return jnp.sum(y * cot)
+
+    def f_lax(x_, w_):
+        y = lk_conv._depthwise_lax(x_, w_, 1, k // 2)
+        return jnp.sum(y * cot)
+
+    vb, (dxb, dwb) = jax.value_and_grad(f_banded, argnums=(0, 1))(x, w)
+    vl, (dxl, dwl) = jax.value_and_grad(f_lax, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(float(vb), float(vl), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(dxb), np.asarray(dxl), rtol=0, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(dwb), np.asarray(dwl), rtol=0, atol=1e-4)
+
+
+def test_train_model_banded_matches_lax(rng):
+    """Tiny RepLKNet in TRAIN mode: lk_train_backend='banded' (f32-ish
+    tolerances — tables are bf16 by default) produces the lax forward
+    and gradients flow to the same leaves."""
+    from ppeadepth_tpu.models.replknet import RepLKNet
+
+    H, W = 16, 32  # stage widths 8, 4 — stage0 banded, stage1 W%8!=0
+    x = jnp.asarray(rng.rand(4, H, W, 3).astype(np.float32))
+    kw = dict(rep_size="t", drop_path_rate=0.0)
+    m_lax = RepLKNet(lk_train_backend="lax", **kw)
+    m_band = RepLKNet(lk_train_backend="banded", **kw)
+    variables = m_lax.init(
+        {"params": jax.random.PRNGKey(0),
+         "droppath": jax.random.PRNGKey(1)}, x, True)
+
+    def loss(mdl, params):
+        out, _ = mdl.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            x, True, mutable=["batch_stats"],
+            rngs={"droppath": jax.random.PRNGKey(2)})
+        # smooth loss: |.| would amplify near-zero sign flips from
+        # reordered summation into O(1) per-element grad diffs
+        return sum(jnp.mean(o * o) for o in
+                   jax.tree_util.tree_leaves(out))
+
+    vl, gl = jax.value_and_grad(lambda p: loss(m_lax, p))(
+        variables["params"])
+    vb, gb = jax.value_and_grad(lambda p: loss(m_band, p))(
+        variables["params"])
+    np.testing.assert_allclose(float(vb), float(vl), rtol=5e-3)
+    fl = jax.tree_util.tree_leaves_with_path(gl)
+    fb = {jax.tree_util.keystr(kp): v
+          for kp, v in jax.tree_util.tree_leaves_with_path(gb)}
+    for kp, v in fl:
+        b = fb[jax.tree_util.keystr(kp)]
+        denom = np.abs(np.asarray(v)).max() + 1e-3
+        err = np.abs(np.asarray(b) - np.asarray(v)).max() / denom
+        assert err < 0.05, (jax.tree_util.keystr(kp), err)
+
+
 def test_build_T_layouts_agree(rng):
     k, W, C = 5, 16, 3
     w = jnp.asarray(rng.randn(k, k, 1, C).astype(np.float32))
@@ -76,6 +166,14 @@ def test_stage_backends_and_resolve():
         "auto", True, jnp.float32) == "lax"
     assert banded_conv.resolve_lk_deploy_backend(
         "banded", False, jnp.float32) == "banded"  # explicit wins
+    # training resolve: 'auto' only on TPU bf16; explicit wins
+    expect_t = "banded" if on_tpu else "lax"
+    assert banded_conv.resolve_lk_train_backend(
+        "auto", jnp.bfloat16) == expect_t
+    assert banded_conv.resolve_lk_train_backend(
+        "auto", jnp.float32) == "lax"
+    assert banded_conv.resolve_lk_train_backend(
+        "banded", jnp.float32) == "banded"
 
 
 def test_deploy_model_banded_matches_lax(rng):

@@ -73,25 +73,25 @@ def main():
         useful = 2 * B * H * W * C * k * k / 1e12
         Tt = jax.jit(banded_conv.build_T_t, static_argnums=1)(
             w, W).astype(jnp.bfloat16)
-        for n_acc in N_ACCS:
+        for _ in N_ACCS:
             for transposed in TRANSPOSED:
                 tw = Tt if transposed else T
                 ban_fn = jax.jit(functools.partial(
-                    banded_conv.banded_depthwise, k=k, n_acc=n_acc))
-                print(f"compiling {H}x{W}x{C} k={k} n_acc={n_acc} "
+                    banded_conv.banded_depthwise, k=k))
+                print(f"compiling {H}x{W}x{C} k={k} "
                       f"tT={transposed}...", file=sys.stderr)
                 try:
                     o_b = np.asarray(ban_fn(x, tw), np.float32)
                 except Exception as e:
                     print(json.dumps({"shape": [B, H, W, C], "k": k,
-                                      "n_acc": n_acc, "tT": transposed,
+                                      "tT": transposed,
                                       "error": str(e)[:300]}), flush=True)
                     continue
                 err = float(
                     np.abs(o_b - o_l).max() / (np.abs(o_l).max() + 1e-6))
                 t_b = device_ms(ban_fn, x, tw)
                 print(json.dumps({
-                    "shape": [B, H, W, C], "k": k, "n_acc": n_acc,
+                    "shape": [B, H, W, C], "k": k,
                     "tT": transposed,
                     "banded_ms": round(t_b, 3), "lax_ms": round(t_l, 3),
                     "speedup": round(t_l / t_b, 2), "err": err,

@@ -23,6 +23,7 @@ def main():
     p.add_argument("--frozen_bf16", default="auto")
     p.add_argument("--grad_accum", type=int, default=1)
     p.add_argument("--rep_size", default="b")
+    p.add_argument("--lk_train_backend", default="lax")
     args = p.parse_args()
 
     import jax
@@ -43,7 +44,8 @@ def main():
     opt = Config(adapter=True, rep_size=args.rep_size, use_checkpoint=args.remat,
                  height=H, width=W, batch_size=B, adpt_test=4,
                  compute_dtype="bfloat16", remat_loss=args.remat_loss,
-                 frozen_bf16=args.frozen_bf16, grad_accum=args.grad_accum)
+                 frozen_bf16=args.frozen_bf16, grad_accum=args.grad_accum,
+                 lk_train_backend=args.lk_train_backend)
     model = RepDepth(opt)
     rng = np.random.RandomState(0)
     batch = {}

@@ -35,6 +35,9 @@ def main():
                    help="full | save_warps (options.remat_policy)")
     p.add_argument("--warp_backend", default="auto")
     p.add_argument("--cv_backend", default="auto")
+    p.add_argument("--lk_train_backend", default="lax",
+                   help="lax | auto | banded (kernels/banded_conv.py "
+                        "training path; per-stage comma list accepted)")
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--height", type=int, default=192)
     p.add_argument("--width", type=int, default=640)
@@ -77,7 +80,7 @@ def main():
         adpt_test=4, compute_dtype=args.dtype, cv_backend=args.cv_backend,
         warp_backend=args.warp_backend,
         remat_loss=args.remat_loss, remat_policy=args.remat_policy,
-        grad_accum=args.grad_accum,
+        grad_accum=args.grad_accum, lk_train_backend=args.lk_train_backend,
     )
     model = RepDepth(opt)
 
