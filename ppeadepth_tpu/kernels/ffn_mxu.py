@@ -51,27 +51,36 @@ def resolve_ffn_backend(backend: str, merged: bool, dtype) -> str:
     return backend
 
 
-def backend_for_config(backend: str, rep_size: str) -> str:
-    """On RepLKNet-XL, 'auto' keeps stage 0 on the exact lax path
-    (measured close-out, refined in round 3).
+def backend_for_config(backend: str, rep_size: str,
+                       lk_deploy_backend: str = "auto") -> str:
+    """XL 'auto' policy vs the stage-0 layout-poisoning target
+    (measured close-outs, rounds 2-3).
 
-    On XL (dw_ratio 1.5, 384-ch stage-0 depthwise), the Mosaic layout the
-    FFN custom-call pins on its result propagates through XLA layout
-    assignment into ONE downstream 27x27 depthwise conv instance
+    On XL (dw_ratio 1.5, 384-ch stage-0 depthwise), the Mosaic layout
+    the FFN custom-call pins on its result propagates through XLA
+    layout assignment into ONE downstream 27x27 depthwise conv instance
     (stage0/blocks_2), which then lowers via the
     `EmitDepthwiseInputBatchInSublanes` emitter at 507 ms — 6.4x the
     whole forward (B=8 @ 640x192: 586 ms with the kernel vs 91.3 ms
     without; the same conv takes 10 ms under the standard layout).
-    Only stage 0 is poisoned, so 'auto' resolves to the per-stage list
-    'lax,auto,auto,auto' (RepLKNet splits it): the stage-1..3 kernels
-    stay and the XL deploy forward measures 89.9 ms vs 91.3 all-lax
-    (tools/probe_xl.py --ffn_backend lax,mxu,mxu,mxu; no poisoned
-    instance — top op 10 ms). B/L keep the kernel everywhere: measured
-    33.1 / 56.1 ms. An explicit `--ffn_backend mxu` still forces the
-    kernel in every stage.
+
+    The poisoned instance only exists while that conv is lowered BY
+    XLA. The FFN kernel activates only under merged+TPU+bf16
+    (resolve_ffn_backend) — exactly the condition under which the
+    banded LK backend (round 3) takes stage 0 off XLA entirely
+    (resolve_lk_deploy_backend), so with lk 'auto'/'banded' there is
+    nothing left to poison: XL deploy with the FFN kernel in ALL
+    stages + banded LK measures 76.1 ms vs 77.7 with the old stage-0
+    workaround (tools/probe_xl.py --size xl --ffn_backend mxu). Only
+    when stage-0 LK is pinned to 'lax' does 'auto' still resolve to
+    'lax,auto,auto,auto' (89.9 ms vs 91.3 all-lax). B/L keep the
+    kernel everywhere: measured 27.6 / 44.2 ms with banded. An
+    explicit `--ffn_backend mxu` always forces the kernel.
     """
     if backend == "auto" and rep_size == "xl":
-        return "lax,auto,auto,auto"
+        from .banded_conv import stage_backends
+        if stage_backends(lk_deploy_backend)[0] == "lax":
+            return "lax,auto,auto,auto"
     return backend
 
 

@@ -75,10 +75,12 @@ class DepthwiseConv(nn.Module):
             and x.shape[2] % 8 == 0
             and self.has_variable("banded", "T")
         ):
+            self._warn_banded_fallback(x, None)
             return None
         T = self.get_variable("banded", "T")
         W = x.shape[2]
         if T.shape != (self.features, W, self.kernel_size * W):
+            self._warn_banded_fallback(x, T.shape)
             return None  # table built for a different resolution
         from ..kernels.banded_conv import banded_depthwise
 
@@ -87,6 +89,27 @@ class DepthwiseConv(nn.Module):
             interpret=jax.default_backend() != "tpu",
         )
         return y.astype(x.dtype)
+
+    def _warn_banded_fallback(self, x, table_shape):
+        """Trace-time warning: a banded-enabled deploy conv silently
+        reverting to the lax path is a perf foot-gun — on XL it also
+        resurrects the FFN-kernel layout-poisoned stage-0 conv
+        (BENCHMARKS.md XL close-out), since ffn 'auto' assumes banded
+        owns stage 0. Fires once per trace, never during init."""
+        if self.is_initializing():
+            return
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "banded LK conv %s falling back to the lax path "
+            "(input %s, stride %d, table %s): rebuild banded tables "
+            "for this resolution (ckpt.deploy.banded_tables) or set "
+            "--lk_deploy_backend lax to silence; on XL this fallback "
+            "also re-exposes the FFN layout-poisoned stage-0 conv "
+            "(pass --ffn_backend lax,auto,auto,auto there).",
+            "/".join(self.scope.path) if self.scope else "?",
+            x.shape, self.stride, table_shape,
+        )
 
     def _banded_train(self, x, w):
         from ..kernels.banded_conv import banded_depthwise_train

@@ -69,7 +69,8 @@ class RepDepth(nn.Module):
             merged=opt.merged,
             drop_path_rate=opt.drop_path_rate,
             ffn_backend=_ffn_backend_for(
-                getattr(opt, "ffn_backend", "auto"), opt.rep_size),
+                getattr(opt, "ffn_backend", "auto"), opt.rep_size,
+                getattr(opt, "lk_deploy_backend", "auto")),
             lk_deploy_backend=getattr(opt, "lk_deploy_backend", "auto"),
             lk_train_backend=getattr(opt, "lk_train_backend", "lax"),
         )
@@ -92,7 +93,8 @@ class RepDepth(nn.Module):
             dtype=dtype,
             merged=opt.merged,
             ffn_backend=_ffn_backend_for(
-                getattr(opt, "ffn_backend", "auto"), opt.rep_size),
+                getattr(opt, "ffn_backend", "auto"), opt.rep_size,
+                getattr(opt, "lk_deploy_backend", "auto")),
             lk_deploy_backend=getattr(opt, "lk_deploy_backend", "auto"),
             lk_train_backend=getattr(opt, "lk_train_backend", "lax"),
         )

@@ -99,18 +99,27 @@ def test_per_stage_ffn_backend_list(rng):
 
 
 def test_backend_for_config_xl_per_stage():
-    """'auto' on XL resolves to the per-stage list that keeps stage 0
-    on lax (the poisoned conv lives in stage 0) and the kernel gate on
-    stages 1-3 (measured 89.9 vs 91.3 ms all-lax, BENCHMARKS.md)."""
+    """XL 'auto' keeps the kernel everywhere when stage-0 LK is banded
+    (the banded kernel removes the poisoned conv; 76.1 vs 77.7 ms
+    measured) and falls back to the per-stage stage-0-lax list only
+    when the LK backend pins stage 0 to lax (89.9 vs 91.3 ms all-lax,
+    BENCHMARKS.md)."""
     from ppeadepth_tpu.kernels.ffn_mxu import backend_for_config
     from ppeadepth_tpu.options import Config
 
-    assert backend_for_config("auto", "xl") == "lax,auto,auto,auto"
-    assert backend_for_config("auto", "b") == "auto"
-    assert backend_for_config("mxu", "xl") == "mxu"  # explicit wins
-    assert backend_for_config("lax,mxu,mxu,mxu", "xl") == "lax,mxu,mxu,mxu"
+    # default lk 'auto' -> stage-0 banded in deploy -> no workaround
+    assert backend_for_config("auto", "xl") == "auto"
+    assert backend_for_config("auto", "xl", "banded") == "auto"
+    # stage-0 LK pinned to lax -> poisoned conv exists -> workaround
+    assert backend_for_config("auto", "xl", "lax") == "lax,auto,auto,auto"
+    assert backend_for_config(
+        "auto", "xl", "lax,banded,lax,lax") == "lax,auto,auto,auto"
+    assert backend_for_config("auto", "b", "lax") == "auto"
+    assert backend_for_config("mxu", "xl", "lax") == "mxu"  # explicit wins
+    assert backend_for_config(
+        "lax,mxu,mxu,mxu", "xl") == "lax,mxu,mxu,mxu"
     # the resolved list must pass Config validation
-    Config(ffn_backend=backend_for_config("auto", "xl"))
+    Config(ffn_backend=backend_for_config("auto", "xl", "lax"))
 
 
 def test_ffn_auto_stays_lax_off_tpu(rng):

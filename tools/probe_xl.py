@@ -28,6 +28,11 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--merged", type=int, default=1)
     ap.add_argument("--ffn_backend", default=None)
+    ap.add_argument("--lk_deploy_backend", default=None)
+    ap.add_argument("--banded", type=int, default=1,
+                    help="build banded LK tables for the merged form "
+                         "(consumed only when lk_deploy_backend resolves "
+                         "to banded for a stage)")
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--top", type=int, default=18)
     args = ap.parse_args()
@@ -46,6 +51,8 @@ def main():
               height=192, width=640, adpt_test=4)
     if args.ffn_backend:
         kw["ffn_backend"] = args.ffn_backend
+    if args.lk_deploy_backend:
+        kw["lk_deploy_backend"] = args.lk_deploy_backend
     opt = Config(**kw)
     model = RepDepth(opt)
     B = args.batch
@@ -57,10 +64,14 @@ def main():
             x[:1], method=RepDepth.forward_mono)
     )()
     if args.merged:
-        from ppeadepth_tpu.ckpt.deploy import structural_reparam
+        from ppeadepth_tpu.ckpt.deploy import banded_tables, structural_reparam
         mp, ms = structural_reparam(
             variables["params"], variables["batch_stats"])
         variables = {"params": mp, "batch_stats": ms}
+        if args.banded and opt.lk_deploy_backend != "lax":
+            bt = banded_tables(mp, (opt.height, opt.width))
+            if bt:
+                variables["banded"] = bt
         model = RepDepth(opt.replace(merged=True))
     variables = jax.tree_util.tree_map(
         lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
