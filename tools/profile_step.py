@@ -35,7 +35,7 @@ def main():
                    help="full | save_warps (options.remat_policy)")
     p.add_argument("--warp_backend", default="auto")
     p.add_argument("--cv_backend", default="auto")
-    p.add_argument("--lk_train_backend", default="lax",
+    p.add_argument("--lk_train_backend", default="auto",
                    help="lax | auto | banded (kernels/banded_conv.py "
                         "training path; per-stage comma list accepted)")
     p.add_argument("--dtype", default="bfloat16")
