@@ -116,6 +116,15 @@ def build_T_t_mm(kernel, W, dtype=None):
     even at bf16 — each output entry is a single product by 1.0.
     Casting BEFORE the dot keeps the big [k, C, W, W] intermediate at
     the target width. Returns the transposed layout [C, W_out, k*W_in].
+
+    Layout note (round 3, measured via the step HLO): a single dot
+    producing [k, C, W, W] followed by a transpose to [C, W, k*W] makes
+    XLA materialize the table TWICE (~12 ms/step of pure relayout
+    copies at stage-0/1 train shapes). Instead, one small dot PER dy
+    emits [C, W_o, W_i] directly and jnp.stack(axis=2) lands each in
+    its [.., dy*W_i:(dy+1)*W_i] slot of the standard-layout output —
+    the concat is the only materialization and fuses as an output
+    epilogue; no transpose exists in the lowering.
     """
     k = kernel.shape[0]
     half = k // 2
@@ -125,13 +134,15 @@ def build_T_t_mm(kernel, W, dtype=None):
     wo = jax.lax.broadcasted_iota(jnp.int32, (W, W), 0)
     wi = jax.lax.broadcasted_iota(jnp.int32, (W, W), 1)
     d_oi = (wi - wo + half)[None, :, :] == jnp.arange(k)[:, None, None]
-    D = d_oi.astype(kernel.dtype).reshape(k, W * W)
+    D = d_oi.astype(kernel.dtype)  # [k(j), W_o, W_i]
     krows = kernel[:, :, 0, :]  # [k(dy), k(j), C]
-    t = jax.lax.dot_general(  # [k(dy), C, W*W]
-        krows, D, (((1,), (0,)), ((), ())),
-        preferred_element_type=kernel.dtype)
-    return jnp.transpose(
-        t.reshape(k, C, W, W), (1, 2, 0, 3)).reshape(C, W, k * W)
+    parts = [
+        jax.lax.dot_general(  # [C, W_o, W_i]
+            krows[dy], D, (((0,), (0,)), ((), ())),
+            preferred_element_type=kernel.dtype)
+        for dy in range(k)
+    ]
+    return jnp.stack(parts, axis=2).reshape(C, W, k * W)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
