@@ -181,26 +181,45 @@ def main():
         "timing": timing,
     }
 
-    # secondary: training throughput (the round-2/3 optimization target),
-    # measured on the bare measured-fastest step (bs 12, bf16, no remat;
-    # BENCHMARKS.md). Runs in a FRESH subprocess: the no-remat bs-12 step
-    # needs nearly all of HBM, and this process's inference buffers would
-    # otherwise OOM it (observed RESOURCE_EXHAUSTED in-process).
-    # Best-effort — never fails the primary metric.
-    if os.environ.get("PPEA_BENCH_TRAIN", "1") != "0":
-        try:
-            import subprocess
+    # The primary metric prints IMMEDIATELY — round 3's driver run timed
+    # out inside the train sub-benchmark below and the whole round's perf
+    # artifact came out empty (BENCH_r03.json rc=124, parsed:null). The
+    # sub-benchmarks re-print a merged superset record afterwards, so the
+    # LAST JSON line on stdout is always the most complete one and the
+    # first is always valid on its own.
+    print(json.dumps(rec), flush=True)
 
+    # secondary sub-benchmarks, each in a FRESH bounded subprocess (the
+    # no-remat bs-12 train step needs nearly all of HBM; this process's
+    # inference buffers would OOM it in-process — observed
+    # RESOURCE_EXHAUSTED). Best-effort: a timeout or crash never loses
+    # the already-printed primary metric. The persistent .jax_cache makes
+    # warm reruns compile in seconds.
+    import subprocess
+
+    def _sub(flag, timeout_env, default_timeout):
+        try:
+            t = int(os.environ.get(timeout_env, str(default_timeout)))
             out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--train-only"],
-                capture_output=True, text=True, timeout=2400,
+                [sys.executable, os.path.abspath(__file__), flag],
+                capture_output=True, text=True, timeout=t,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
-            rec.update(json.loads(out.stdout.strip().splitlines()[-1]))
+            extra = json.loads(out.stdout.strip().splitlines()[-1])
+            if extra:
+                rec.update(extra)
+                print(json.dumps(rec), flush=True)
         except Exception as e:  # noqa: BLE001
-            print(f"train-step bench skipped: {e}", file=sys.stderr)
+            print(f"{flag} bench skipped: {e}", file=sys.stderr)
 
-    print(json.dumps(rec))
+    # training throughput (round-2/3 optimization target): bare
+    # measured-fastest step, bs 12, bf16, no remat (BENCHMARKS.md)
+    if os.environ.get("PPEA_BENCH_TRAIN", "1") != "0":
+        _sub("--train-only", "PPEA_BENCH_TRAIN_TIMEOUT", 1200)
+    # student multi-frame (cost-volume) deploy inference — the paper's
+    # headline model's serving path (round-4 optimization target)
+    if os.environ.get("PPEA_BENCH_MULTI", "1") != "0":
+        _sub("--multi-only", "PPEA_BENCH_MULTI_TIMEOUT", 900)
 
 
 def _train_step_bench():
@@ -262,16 +281,51 @@ def _train_step_bench():
             "train_step_imgs_per_s": round(12 / dt, 2)}
 
 
-def _train_only_main():
+def _multi_bench():
+    """Student multi-frame (plane-sweep cost volume) deploy inference —
+    the path the reference's headline model serves
+    (replk_matching_adapter.py:389-476 forward). bf16, merged, B=8."""
+    import numpy as np
+
+    from ppeadepth_tpu.options import Config
+    from ppeadepth_tpu.serve import InferenceSession
+
+    B, H, W = 8, 192, 640
+    opt = Config(adapter=True, rep_size="b", adpt_test=4,
+                 height=H, width=W, compute_dtype="bfloat16")
+    sess = InferenceSession(opt)
+    rng = np.random.RandomState(0)
+    img = rng.rand(B, H, W, 3).astype(np.float32)
+    lookup = rng.rand(B, H, W, 3).astype(np.float32)
+    K = np.eye(4, dtype=np.float32)
+    K[0, 0], K[1, 1] = 0.58 * W / 4, 1.92 * H / 4
+    K[0, 2], K[1, 2] = 0.5 * W / 4, 0.5 * H / 4
+    K = np.tile(K, (B, 1, 1))
+    invK = np.linalg.pinv(K[0])[None].repeat(B, 0)
+
+    out = sess.predict_depth_multi(img, lookup, K, invK)  # compile + warm
+    assert np.isfinite(out).all()
+    dt = _device_time_per_iter(
+        lambda i: sess.predict_depth_multi(img, lookup, K, invK), 8
+    )
+    if dt is None:
+        return {}
+    return {"multi_frame_fps_per_chip": round(B / dt, 2),
+            "multi_frame_ms": round(dt * 1e3, 2)}
+
+
+def _sub_main(fn):
     import jax
 
     os.makedirs(".jax_cache", exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", ".jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    print(json.dumps(_train_step_bench()))
+    print(json.dumps(fn()))
 
 
 if __name__ == "__main__":
     if "--train-only" in sys.argv:
-        sys.exit(_train_only_main())
+        sys.exit(_sub_main(_train_step_bench))
+    if "--multi-only" in sys.argv:
+        sys.exit(_sub_main(_multi_bench))
     sys.exit(main())

@@ -21,6 +21,8 @@ channels, divided by the image count).
 
 from __future__ import annotations
 
+import glob
+import os
 import re
 from typing import Dict, Tuple
 
@@ -250,6 +252,98 @@ def load_torch_repdepth(path: str, template_params: Dict,
     return map_state_dict(
         sd, template_params, template_stats, verbose=verbose
     )
+
+
+# ImageNet checkpoint filenames the reference hardcodes per size
+# (repdepth.py:84-88, replk_matching_adapter.py:46-51). XL has no live
+# bootstrap path in the reference snapshot (repdepth.py:89 raises before
+# selecting one); we accept the official RepLKNet release name.
+REPLK_IMAGENET_FILES = {
+    "b": "RepLKNet-31B_ImageNet-1K_224.pth",
+    "l": "RepLKNet-31L_ImageNet-22K.pth",
+    "xl": "RepLKNet-XL_MegData73M_pretrain.pth",
+}
+
+
+def bootstrap_pretrained(variables, opt, verbose: bool = True):
+    """From-scratch training bootstrap: load the RepLKNet ImageNet
+    checkpoint into BOTH backbones and (if a file is available) a
+    torchvision resnet18 state_dict into the 2-image pose encoder.
+
+    Mirrors the reference's constructor-time loads: the matching encoder
+    and teacher encoder both read `./pretrained/RepLKNet-31{B,L}…pth`
+    unconditionally (repdepth.py:84-111, replk_matching_adapter.py:46-67),
+    and the pose ResnetEncoder is torchvision-pretrained iff
+    `--weights_init pretrained` (repdepth.py:155, resnet_encoder.py:385-392
+    — the multi-image stem concatenates the 1-image kernel and divides by
+    the image count, resnet_encoder.py:62-70).
+
+    Missing RepLKNet file is an ERROR, not a silent random init: a run
+    started from random backbones can never reach the paper's numbers.
+    The torchvision file (`resnet18*.pth` in the same directory) is
+    optional with a loud warning — the reference downloads it at runtime;
+    this environment has no network egress.
+    """
+    fname = REPLK_IMAGENET_FILES.get(
+        opt.rep_size, f"RepLKNet-{opt.rep_size}.pth"
+    )
+    path = os.path.join(opt.backbone_weights, fname)
+    if not os.path.isfile(path):
+        raise FileNotFoundError(
+            f"--weights_init pretrained: backbone checkpoint {path!r} not "
+            "found. Download the RepLKNet ImageNet release there, point "
+            "--backbone_weights at its directory, or pass "
+            "--weights_init scratch to (knowingly) train from random "
+            "backbones."
+        )
+    sd = load_torch_checkpoint(path)
+    params = dict(variables["params"])
+    stats = dict(variables["batch_stats"])
+
+    mp, ms, n_mono, miss_m = map_state_dict(
+        sd, params["mono_encoder"], stats["mono_encoder"]
+    )
+    enc_p = dict(params["encoder"])
+    enc_s = dict(stats["encoder"])
+    ep, es, n_match, miss_e = map_state_dict(
+        sd, enc_p["replk"], enc_s["replk"]
+    )
+    if n_mono == 0 or n_match == 0:
+        raise ValueError(
+            f"backbone checkpoint {path!r} matched no parameters "
+            f"(mono {n_mono}, matching {n_match}) — wrong --rep_size?"
+        )
+    params["mono_encoder"], stats["mono_encoder"] = mp, ms
+    enc_p["replk"], enc_s["replk"] = ep, es
+    params["encoder"], stats["encoder"] = enc_p, enc_s
+    if verbose:
+        print(f"[bootstrap] {fname}: mono_encoder {n_mono} tensors, "
+              f"matching encoder {n_match} tensors "
+              f"(adapters/decoders stay at init: {len(miss_m)} skipped)")
+
+    n_pose = 0
+    pose_files = sorted(
+        glob.glob(os.path.join(opt.backbone_weights, "resnet18*.pth"))
+    )
+    if pose_files and "pose_encoder" in params:
+        psd = load_torch_checkpoint(pose_files[0])
+        pp, ps, n_pose, _ = map_state_dict(
+            psd, params["pose_encoder"], stats["pose_encoder"],
+            num_input_images=2,
+        )
+        if n_pose:
+            params["pose_encoder"], stats["pose_encoder"] = pp, ps
+        if verbose:
+            print(f"[bootstrap] {os.path.basename(pose_files[0])}: "
+                  f"pose_encoder {n_pose} tensors (2-image stem inflated)")
+    elif verbose and "pose_encoder" in params:
+        print("[bootstrap] WARNING: no resnet18*.pth in "
+              f"{opt.backbone_weights!r} — pose encoder starts from "
+              "random (the reference uses torchvision pretrained=True)")
+
+    out = dict(variables)
+    out["params"], out["batch_stats"] = params, stats
+    return out
 
 
 def load_torch_replknet_backbone(

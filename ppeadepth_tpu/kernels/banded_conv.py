@@ -114,8 +114,8 @@ def build_T_t_mm(kernel, W, dtype=None):
     with ONE matmul (6.3 GFLOP at stage 0, ~0.1 ms): exactly one j
     matches per (o, i), so the result equals the gather build exactly
     even at bf16 — each output entry is a single product by 1.0.
-    Casting BEFORE the dot keeps the big [k, C, W, W] intermediate at
-    the target width. Returns the transposed layout [C, W_out, k*W_in].
+    Casting BEFORE the dots keeps the per-dy [C, W_o, W_i] intermediates
+    at the target width. Returns the transposed layout [C, W_out, k*W_in].
 
     Layout note (round 3, measured via the step HLO): a single dot
     producing [k, C, W, W] followed by a transpose to [C, W, k*W] makes

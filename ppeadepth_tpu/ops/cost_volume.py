@@ -54,8 +54,11 @@ def compute_depth_bins(min_depth_bin, max_depth_bin, num_bins, binning="log"):
     if binning == "linear":
         return min_d + (max_d - min_d) * i / (num_bins - 1)
     if binning == "inverse":
+        # 1/linspace(1/max, 1/min, N) is descending in depth; the
+        # reference reverses it to ascending ("maintain depth order",
+        # replk_matching.py:101-104)
         inv = 1.0 / max_d + (1.0 / min_d - 1.0 / max_d) * i / (num_bins - 1)
-        return (1.0 / inv)[::-1][::-1]  # ascending in depth like the reference
+        return (1.0 / inv)[::-1]
     raise NotImplementedError(binning)
 
 

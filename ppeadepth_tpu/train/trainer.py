@@ -151,6 +151,13 @@ class Trainer:
                 init_batch, 0.1, 10.0, False,
             )
         )()
+        # from-scratch runs bootstrap from ImageNet weights, like the
+        # reference's constructor-time loads (repdepth.py:84-111,155);
+        # resuming from a checkpoint supersedes the bootstrap
+        if opt.weights_init == "pretrained" and not opt.load_weights_folder:
+            from ..ckpt.torch_import import bootstrap_pretrained
+
+            variables = bootstrap_pretrained(variables, opt)
         lr = 1e-6 if opt.freeze_pose else opt.learning_rate
         self.tx = schedule.make_optimizer(
             lr, self.steps_per_epoch, opt.scheduler_step_size

@@ -24,6 +24,23 @@ def test_depth_bins_log_spacing():
     np.testing.assert_allclose(ratios, ratios[0], rtol=1e-4)
 
 
+def test_depth_bins_all_modes_match_reference_formulas():
+    """Pin linear/inverse/log against replk_matching.py:96-114 and assert
+    ascending depth order (the reference reverses 'inverse' explicitly:
+    "maintain depth order"). Round 3 shipped inverse DESCENDING
+    ([::-1][::-1] no-op); this is the regression test for the fix."""
+    mn, mx, N = 0.5, 20.0, 17
+    for mode, ref in {
+        "linear": np.linspace(mn, mx, N),
+        "inverse": 1.0 / np.linspace(1.0 / mx, 1.0 / mn, N)[::-1],
+        "log": np.exp(np.log(mn) + np.log(mx / mn) * np.arange(N) / N),
+    }.items():
+        got = np.asarray(CV.compute_depth_bins(mn, mx, N, mode))
+        np.testing.assert_allclose(got, ref.astype(np.float32), rtol=1e-5,
+                                   err_msg=mode)
+        assert (np.diff(got) > 0).all(), f"{mode} bins must ascend"
+
+
 def test_plane_recovery(rng):
     """Fronto-parallel plane at depth d with pure x-translation: the argmin
     bin must be the hypothesis closest to d for interior pixels."""

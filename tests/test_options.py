@@ -55,3 +55,38 @@ def test_dead_freeze_schedule_flags_rejected():
         parse_args(["--freeze_teacher_epoch", "10"])
     # defaults stay accepted
     parse_args([])
+
+
+def test_boolean_off_switches():
+    """Every bool flag has a --no_<flag> form so default-True flags
+    (remat_pose) are expressible as False from the CLI (round-3 gap)."""
+    import dataclasses
+
+    from ppeadepth_tpu.options import Config, parse_args
+
+    assert Config().remat_pose is True
+    assert parse_args(["--no_remat_pose"]).remat_pose is False
+    assert parse_args(["--remat_pose"]).remat_pose is True
+    # default-False flags round-trip both ways too
+    assert parse_args(["--adapter"]).adapter is True
+    assert parse_args(["--adapter", "--no_png"]).png is False
+    # every bool field parses in both polarities (except `eval`, whose
+    # off switch would collide with the reference's --no_eval flag)
+    names = {f.name for f in dataclasses.fields(Config)}
+    for f in dataclasses.fields(Config):
+        if isinstance(getattr(Config(), f.name), bool) \
+                and "no_" + f.name not in names:
+            assert parse_args(["--" + f.name]).__getattribute__(f.name) \
+                is True, f.name
+            assert parse_args(["--no_" + f.name]).__getattribute__(f.name) \
+                is False, f.name
+
+
+def test_weights_init_validated():
+    import pytest
+
+    from ppeadepth_tpu.options import Config, parse_args
+
+    with pytest.raises(AssertionError, match="weights_init"):
+        Config(weights_init="imagenet").with_mode_presets()
+    assert parse_args(["--weights_init", "scratch"]).weights_init == "scratch"

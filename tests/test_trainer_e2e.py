@@ -32,6 +32,7 @@ def kitti_tmp(tmp_path, rng):
 def test_trainer_end_to_end(kitti_tmp, tmp_path):
     root, splits_dir = kitti_tmp
     opt = Config(
+        weights_init="scratch",
         adapter=True, rep_size="t", use_checkpoint=False,
         height=64, width=96, batch_size=8, num_depth_bins=8, bin_chunk=4,
         data_path=root, split="tiny", num_epochs=1, num_workers=2,
@@ -63,6 +64,7 @@ def test_trainer_fast_pipeline(kitti_tmp, tmp_path):
         pytest.skip("native loader unavailable")
     root, splits_dir = kitti_tmp
     opt = Config(
+        weights_init="scratch",
         adapter=True, rep_size="t", use_checkpoint=False,
         height=64, width=96, batch_size=8, num_depth_bins=8, bin_chunk=4,
         data_path=root, split="tiny", num_epochs=1, num_workers=2,
@@ -85,6 +87,7 @@ def test_trainer_frozen_bf16_ckpt_f32(kitti_tmp, tmp_path):
 
     root, splits_dir = kitti_tmp
     opt = Config(
+        weights_init="scratch",
         adapter=True, rep_size="t", use_checkpoint=False,
         height=64, width=96, batch_size=8, num_depth_bins=8, bin_chunk=4,
         data_path=root, split="tiny", num_epochs=1, num_workers=2,
@@ -121,6 +124,7 @@ def test_trainer_grad_accum(kitti_tmp, tmp_path):
     applied (the step raises if not) and an epoch completes."""
     root, splits_dir = kitti_tmp
     opt = Config(
+        weights_init="scratch",
         adapter=True, rep_size="t", use_checkpoint=False,
         height=64, width=96, batch_size=8, num_depth_bins=8, bin_chunk=4,
         data_path=root, split="tiny", num_epochs=1, num_workers=2,

@@ -66,7 +66,7 @@ def test_stage2_trainer_end_to_end(cs_tmp, tmp_path):
     # ---- stage-1 checkpoint to fine-tune from (mechanics only: the
     # reference loads a KITTI-trained model here)
     opt1 = Config(
-        adapter=True, rep_size="t", use_checkpoint=False,
+        weights_init="scratch", adapter=True, rep_size="t", use_checkpoint=False,
         height=H, width=W, batch_size=B, num_depth_bins=8, bin_chunk=4,
         log_dir=str(tmp_path / "ckpt"), name="s1", validate_every=0,
     )
@@ -75,7 +75,7 @@ def test_stage2_trainer_end_to_end(cs_tmp, tmp_path):
 
     # ---- stage 2: --train_cs --dc --ktf
     opt2 = Config(
-        adapter=True, rep_size="t", use_checkpoint=False,
+        weights_init="scratch", adapter=True, rep_size="t", use_checkpoint=False,
         train_cs=True, dc=True, ktf=True, dec_id=1,
         height=H, width=W, batch_size=B, num_depth_bins=8, bin_chunk=4,
         data_path=root, num_epochs=1, num_workers=2, validate_every=0,

@@ -8,9 +8,12 @@ here at the train shapes (B=12):
   1. boundary transposes: NHWC -> H-major [C, (H+k-1)*B, W] in
      banded_depthwise and back (2 per kernel invocation, 16
      invocations/step incl. the bwd dx path);
-  2. table-build transpose: build_T_t_mm's [k, C, W_o, W_i] ->
-     [C, W_o, k*W_i] relayout (203 MB at stage 0, 2 builds per conv
-     per step incl. the flipped bwd table).
+  2. table-build relayout: the PRE-fix build_T_t_mm emitted one
+     [k, C, W_o, W_i] dot then transposed to [C, W_o, k*W_i] (203 MB at
+     stage 0, 2 builds per conv per step incl. the flipped bwd table).
+     The fix landed: build_T_t_mm now stacks per-dy dots directly into
+     the standard layout, and `build_dot_only` below reproduces the OLD
+     single-dot form so the before/after delta stays measurable.
 
   PYTHONPATH=/root/repo:$PYTHONPATH python tools/probe_fmt.py
 """

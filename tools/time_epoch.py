@@ -96,6 +96,7 @@ def main():
         f.write("\n".join(lines[: args.batch]))
 
     opt = Config(
+        weights_init="scratch",
         adapter=True, rep_size="b", adpt_test=4,
         use_checkpoint=args.remat, compute_dtype="bfloat16",
         remat_loss=args.remat_loss, remat_policy=args.remat_policy,
