@@ -97,11 +97,14 @@ def evaluate_disps(
 
         pred_depth = pred_depth[mask]
         gt = gt_depth[mask]
-        pred_depth = pred_depth * pred_depth_scale_factor
+        # in-place like the reference (trainer.py:822-829): the f64
+        # median ratio must NOT promote the f32 depths (bit-exactness
+        # pinned by tests/test_eval_oracle.py)
+        pred_depth *= pred_depth_scale_factor
         if not disable_median_scaling:
             ratio = np.median(gt) / np.median(pred_depth)
             ratios.append(ratio)
-            pred_depth = pred_depth * ratio
+            pred_depth *= ratio
         pred_depth = np.clip(pred_depth, min_val, max_val)
         errors.append(compute_errors(gt, pred_depth))
     return np.array(errors).mean(0), np.array(ratios)

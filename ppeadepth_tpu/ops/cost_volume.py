@@ -305,9 +305,11 @@ def occlusion_fill(
     occ = occ.reshape(B, F_, h, w)
 
     # project the occlusion mask through every depth plane of every frame
-    # and OR over frames (the reference handles one frame at a time inside
-    # its accumulation loop; with avg/min over frames the adjusted cost is
-    # equivalent for the live single-lookup-frame config)
+    # and OR over frames. The reference in-fills each frame's warped
+    # FEATURES before the diff (replk_matching_adapter.py:198-211); the
+    # cost-level form here agrees only for one lookup frame, so
+    # options.with_mode_presets rejects --dyn_cv with
+    # --num_matching_frames > 1 (round-3 VERDICT #7).
     mask_any = jnp.zeros((B, D, h, w), jnp.float32)
     for f in range(F_):
         T = rel_poses[:, f]

@@ -262,6 +262,19 @@ class Config:
         assert cfg.grad_accum >= 1 and cfg.batch_size % cfg.grad_accum == 0, (
             f"--batch_size {cfg.batch_size} must be a positive multiple "
             f"of --grad_accum {cfg.grad_accum}")
+        if cfg.dyn_cv and cfg.num_matching_frames > 1:
+            # our occlusion in-fill adjusts the AGGREGATED cost volume
+            # (ops/cost_volume.occlusion_fill); the reference's
+            # match_features_dyn in-fills each frame's warped features
+            # BEFORE the diff (replk_matching_adapter.py:198-211). The
+            # two orderings agree only for one lookup frame — reject the
+            # untested combination instead of silently diverging.
+            raise ValueError(
+                "--dyn_cv supports exactly one lookup frame "
+                "(--num_matching_frames 1): with several frames the "
+                "cost-level occlusion in-fill diverges from the "
+                "reference's per-frame feature in-fill"
+            )
         if (cfg.freeze_teacher_epoch, cfg.freeze_teacher_step) != (150, -1):
             raise ValueError(
                 "--freeze_teacher_epoch/--freeze_teacher_step are dead "

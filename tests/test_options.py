@@ -90,3 +90,16 @@ def test_weights_init_validated():
     with pytest.raises(AssertionError, match="weights_init"):
         Config(weights_init="imagenet").with_mode_presets()
     assert parse_args(["--weights_init", "scratch"]).weights_init == "scratch"
+
+
+def test_dyn_cv_multi_frame_rejected():
+    """--dyn_cv with num_matching_frames > 1 silently diverged from the
+    reference's per-frame feature in-fill (round-3 VERDICT #7) — now a
+    loud error; the supported single-frame config still parses."""
+    import pytest
+
+    from ppeadepth_tpu.options import Config, parse_args
+
+    with pytest.raises(ValueError, match="one lookup frame"):
+        Config(dyn_cv=True, num_matching_frames=2).with_mode_presets()
+    assert parse_args(["--dyn_cv"]).dyn_cv is True
