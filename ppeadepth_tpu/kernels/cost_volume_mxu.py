@@ -121,7 +121,14 @@ def _kernel(H, W, C, TN, BD, eps, precision, cur_ref, lk_ref, A_ref, t_ref,
 
     jax.lax.fori_loop(y_lo, y_hi, y_body, 0)
 
-    # per-bin L1 diff, edge-masked (static output indices per bin)
+    # per-bin L1 diff, edge-masked; bins land on the LANE axis of the
+    # output block ([TN, BD], i.e. [B, HW, D] overall) so the cost
+    # volume leaves the kernel D-minor — the layout every consumer
+    # (elementwise aggregation, lane-reductions over D, the NHWC concat
+    # into reduce_conv) wants. The previous [B, D, HW, 1] form made XLA
+    # insert a ~12 GB/s HBM relayout copy of the whole volume right
+    # after the custom call (4.1 ms at deploy B=8, round-3 VERDICT #5).
+    cols = []
     for d in range(BD):
         a = acc_ref[d * TN:(d + 1) * TN]
         diff = jnp.mean(jnp.abs(a - cur_ref[0]), axis=1,
@@ -130,7 +137,8 @@ def _kernel(H, W, C, TN, BD, eps, precision, cur_ref, lk_ref, A_ref, t_ref,
             (xs[d] >= 2.0) & (xs[d] <= W - 2)
             & (ys[d] >= 2.0) & (ys[d] <= H - 2)
         ).astype(jnp.float32)
-        out_ref[0, d] = diff * edge * border
+        cols.append(diff * edge * border)
+    out_ref[0] = jnp.concatenate(cols, axis=1)  # [TN, BD]
 
 
 @functools.partial(
@@ -182,9 +190,16 @@ def frame_diffs_batch(cur_flat, lk_img, A, t, bins, rows_per_tile=2,
             pl.BlockSpec((BD, 1, 1), lambda b, nt, d: (d, 0, 0),
                          memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, BD, TN, 1), lambda b, nt, d: (b, d, nt, 0),
+        # D-minor output with conforming blocks: Mosaic requires the
+        # block's last dim to be 128-divisible or equal to the array's
+        # (BD=32 is neither for a [B, HW, D] array), so the d-chunk
+        # index folds into the ROW axis instead — block (1, TN, BD)
+        # over [B, HW*DC, BD] — and the wrapper un-interleaves rows
+        # with a lane-preserving permute (cheap; the lanes stay put).
+        out_specs=pl.BlockSpec((1, TN, BD),
+                               lambda b, nt, d: (b, nt * DC + d, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, D, H * W, 1), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, H * W * DC, BD), jnp.float32),
         scratch_shapes=[pltpu.VMEM((BD * TN, C), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=48 * 1024 * 1024,
@@ -193,4 +208,13 @@ def frame_diffs_batch(cur_flat, lk_img, A, t, bins, rows_per_tile=2,
     )(cur_flat.astype(jnp.float32), lk_img.astype(lk_dt),
       A.astype(jnp.float32), t.astype(jnp.float32).reshape(B, 1, 3),
       bins.astype(jnp.float32).reshape(D, 1, 1))
-    return out.reshape(B, D, H, W)
+    # un-interleave the d-chunks from the row axis: [B, NT, DC, TN, BD]
+    # -> [B, NT, TN, DC, BD] == [B, HW, D] (lane-preserving permute),
+    # then a LOGICAL transpose to the [B, D, H, W] API shape — with the
+    # volume now D-minor, XLA's layout assignment keeps the downstream
+    # elementwise chain and the final NHWC form in the same (B,H,W,D)
+    # memory order, so no ~12 GB/s relayout copy of the whole volume
+    # follows the custom call any more (round-3 VERDICT #5: 4.1 ms at
+    # deploy B=8).
+    out = out.reshape(B, NT, DC, TN, BD).transpose(0, 1, 3, 2, 4)
+    return jnp.transpose(out.reshape(B, H, W, D), (0, 3, 1, 2))
