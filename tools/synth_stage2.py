@@ -40,7 +40,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def run_two_stage(rep_size="t", height=64, width=96, steps1=30, steps2=30,
                   batch_size=4, frames=40, eval_frames=8, seed=0,
                   n_movers=4, lr1=1e-4, lr2=2e-5, compute_dtype="float32",
-                  dec_id=1, log=print):
+                  dec_id=1, eval_every=0, log=print):
     from tools.synth_convergence import run_convergence
 
     log("=== stage 1: static scene A, full stage-1 trainable set ===")
@@ -48,14 +48,15 @@ def run_two_stage(rep_size="t", height=64, width=96, steps1=30, steps2=30,
         rep_size=rep_size, height=height, width=width, steps=steps1,
         batch_size=batch_size, frames=frames, eval_frames=eval_frames,
         seed=seed, compute_dtype=compute_dtype, learning_rate=lr1,
-        log=log, return_state=True)
+        eval_every=eval_every, log=log, return_state=True)
 
     log("=== stage 2: dynamic scene B, dc freezing, --ktf warm start ===")
     r2 = run_convergence(
         rep_size=rep_size, height=height, width=width, steps=steps2,
         batch_size=batch_size, frames=frames, eval_frames=eval_frames,
         seed=seed, scene_seed=seed + 1000, n_movers=n_movers,
-        compute_dtype=compute_dtype, learning_rate=lr2, log=log,
+        compute_dtype=compute_dtype, learning_rate=lr2,
+        eval_every=eval_every, log=log,
         config_overrides={"dc": True, "dec_id": dec_id, "ktf": True,
                           "train_cs": True},
         init_state=state1)
@@ -87,6 +88,7 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--lr1", type=float, default=1e-4)
     p.add_argument("--lr2", type=float, default=2e-5)
+    p.add_argument("--eval_every", type=int, default=0)
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--out", default="")
     a = p.parse_args()
@@ -101,7 +103,7 @@ def main():
         steps1=a.steps1, steps2=a.steps2, batch_size=a.batch_size,
         frames=a.frames, eval_frames=a.eval_frames, seed=a.seed,
         n_movers=a.n_movers, lr1=a.lr1, lr2=a.lr2, dec_id=a.dec_id,
-        compute_dtype=a.compute_dtype)
+        eval_every=a.eval_every, compute_dtype=a.compute_dtype)
     print(json.dumps(r, indent=2, default=float))
     if a.out:
         with open(a.out, "w") as f:
