@@ -38,7 +38,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run_two_stage(rep_size="t", height=64, width=96, steps1=30, steps2=30,
-                  batch_size=4, frames=40, eval_frames=8, seed=0,
+                  batch_size=4, frames=60, eval_frames=8, seed=0,
                   n_movers=4, lr1=1e-4, lr2=2e-5, compute_dtype="float32",
                   dec_id=1, eval_every=0, log=print):
     from tools.synth_convergence import run_convergence
@@ -80,7 +80,7 @@ def main():
     p.add_argument("--steps1", type=int, default=30)
     p.add_argument("--steps2", type=int, default=30)
     p.add_argument("--batch_size", type=int, default=4)
-    p.add_argument("--frames", type=int, default=40)
+    p.add_argument("--frames", type=int, default=60)
     p.add_argument("--eval_frames", type=int, default=8)
     p.add_argument("--n_movers", type=int, default=4)
     p.add_argument("--dec_id", type=int, default=1)
