@@ -20,6 +20,7 @@ import tempfile
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--rep_size", default="b")
     p.add_argument("--iters", type=int, default=8)
     args = p.parse_args()
 
@@ -32,7 +33,7 @@ def main():
     from ppeadepth_tpu.options import Config
     from ppeadepth_tpu.serve import InferenceSession
 
-    opt = Config(adapter=True, rep_size="b", adpt_test=4,
+    opt = Config(adapter=True, rep_size=args.rep_size, adpt_test=4,
                  height=192, width=640, compute_dtype="bfloat16")
     sess = InferenceSession(opt)
 
@@ -85,7 +86,7 @@ def main():
         print(f"  {us / 1e3 / args.iters:8.2f} ms  {name[:90]}",
               file=sys.stderr)
     print(json.dumps({
-        "metric": "multi_frame_depth_fps_per_chip_640x192",
+        "metric": f"multi_frame_depth_fps_per_chip_640x192_{args.rep_size}",
         "value": round(args.batch / (ms / 1e3), 2),
         "unit": "fps/chip", "device_ms": round(ms, 2), "batch": args.batch,
     }))
