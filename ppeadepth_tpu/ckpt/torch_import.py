@@ -24,6 +24,7 @@ from __future__ import annotations
 import glob
 import os
 import re
+import sys
 from typing import Dict, Tuple
 
 import numpy as np
@@ -333,9 +334,17 @@ def bootstrap_pretrained(variables, opt, verbose: bool = True):
         )
         if n_pose:
             params["pose_encoder"], stats["pose_encoder"] = pp, ps
-        if verbose:
-            print(f"[bootstrap] {os.path.basename(pose_files[0])}: "
-                  f"pose_encoder {n_pose} tensors (2-image stem inflated)")
+            if verbose:
+                print(f"[bootstrap] {os.path.basename(pose_files[0])}: "
+                      f"pose_encoder {n_pose} tensors "
+                      "(2-image stem inflated)")
+        else:
+            # a file that matches ZERO tensors is as dangerous as a
+            # missing one (silent random pose encoder) — warn loudly,
+            # unconditionally, like the missing-file branch below.
+            print(f"[bootstrap] WARNING: {pose_files[0]!r} matched 0 "
+                  "pose_encoder tensors (wrong or corrupt file?) — pose "
+                  "encoder starts from random", file=sys.stderr)
     elif verbose and "pose_encoder" in params:
         print("[bootstrap] WARNING: no resnet18*.pth in "
               f"{opt.backbone_weights!r} — pose encoder starts from "

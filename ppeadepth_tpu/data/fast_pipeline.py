@@ -41,6 +41,7 @@ class FastDecodePipeline:
         n_threads: int = 16,
         drop_last: bool = True,
         seed: int = 0,
+        cache_dir: str = "",
     ):
         assert NL.available(), "native loader unavailable"
         self.ds = dataset
@@ -51,6 +52,26 @@ class FastDecodePipeline:
         self.drop_last = drop_last
         self.seed = seed
         self.epoch = 0
+        # persistent decode pool: round-4 e2e showed multi-second stall
+        # windows at every epoch restart from tearing down / re-warming
+        # the executor per __iter__; keep one pool for the loader's life
+        # and preload the next epoch's first batches across the boundary
+        self._pool = cf.ThreadPoolExecutor(2)
+        self._preload = {}  # epoch -> (chunk_iter, [futures])
+        # decoded-raw cache (--decode_cache): decode each image once,
+        # serve repeats from a memory-mapped u8 array (data/decode_cache)
+        self.cache = None
+        if cache_dir:
+            from .decode_cache import DecodeCache
+
+            all_paths = []
+            for idx in range(len(dataset)):
+                folder, fi, side = dataset.index_to_folder_and_frame_idx(idx)
+                for f in self.frame_idxs:
+                    all_paths.append(
+                        dataset.get_image_path(folder, fi + f, side))
+            self.cache = DecodeCache(cache_dir, all_paths,
+                                     dataset.height, dataset.width)
 
     def __len__(self):
         n = len(self.ds)
@@ -73,43 +94,66 @@ class FastDecodePipeline:
             Ks.append(self.ds.load_intrinsics(folder, frame_index))
         return paths, np.stack(Ks)
 
-    def __iter__(self):
+    def _epoch_chunks(self, epoch: int):
         n = len(self.ds)
         order = np.arange(n)
         if self.shuffle:
-            rng = np.random.RandomState(self.seed * 9973 + self.epoch)
+            rng = np.random.RandomState(self.seed * 9973 + epoch)
             rng.shuffle(order)
         if self.drop_last:
             order = order[: (n // self.batch_size) * self.batch_size]
-        H, W = self.ds.height, self.ds.width
+        return [
+            order[i: i + self.batch_size]
+            for i in range(0, len(order), self.batch_size)
+        ]
 
-        def make(indices):
-            paths, K = self._paths_and_K(list(indices))
+    def _make(self, indices):
+        H, W = self.ds.height, self.ds.width
+        paths, K = self._paths_and_K(list(indices))
+        if self.cache is not None:
+            frames = {
+                f: self.cache.get_batch(p, self.n_threads)
+                for f, p in paths.items()
+            }
+        else:
             frames = {
                 f: NL.decode_resize_batch(p, W, H, self.n_threads)
                 for f, p in paths.items()
             }
-            return frames, K
+        return frames, K
 
-        with cf.ThreadPoolExecutor(2) as pool:
-            chunks = [
-                order[i : i + self.batch_size]
-                for i in range(0, len(order), self.batch_size)
-            ]
-            it = iter(chunks)
+    def __iter__(self):
+        pool = self._pool
+        if self.epoch in self._preload:
+            # first batches were submitted while the PREVIOUS epoch's
+            # last step was still on the device — no restart stall
+            it, pending = self._preload.pop(self.epoch)
+        else:
+            it = iter(self._epoch_chunks(self.epoch))
             pending = []
             for _ in range(2):
                 try:
-                    pending.append(pool.submit(make, next(it)))
+                    pending.append(pool.submit(self._make, next(it)))
                 except StopIteration:
                     break
-            while pending:
-                fut = pending.pop(0)
-                try:
-                    pending.append(pool.submit(make, next(it)))
-                except StopIteration:
-                    pass
-                yield fut.result()
+        while pending:
+            fut = pending.pop(0)
+            try:
+                pending.append(pool.submit(self._make, next(it)))
+            except StopIteration:
+                if not pending:
+                    # warm the next epoch across the restart boundary
+                    nxt = self.epoch + 1
+                    nit = iter(self._epoch_chunks(nxt))
+                    npend = []
+                    for _ in range(2):
+                        try:
+                            npend.append(
+                                pool.submit(self._make, next(nit)))
+                        except StopIteration:
+                            break
+                    self._preload = {nxt: (nit, npend)}
+            yield fut.result()
 
 
 def prepare_batch(frames_u8: Dict, K_full, rng, height: int, width: int,

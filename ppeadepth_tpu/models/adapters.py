@@ -18,6 +18,8 @@ from typing import Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
+from .norm import BatchNorm as TorchBatchNorm  # torch-parity running_var
+
 
 class ChannelAdapter(nn.Module):
     """Bottleneck MLP over channels: Dense(C->C*ratio) - GELU - Dense(->C).
@@ -94,14 +96,14 @@ class InputAdapter(nn.Module):
     def __call__(self, x, train: bool = False):
         hidden = int(self.features * self.mlp_ratio)
         x = nn.Conv(hidden, (3, 3), strides=(2, 2), padding=1, name="D_fc1")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        x = TorchBatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, name="bn1")(x)
         x = nn.gelu(x, approximate=False)
         x = nn.Conv(
             self.features, (3, 3), padding=1, name="D_fc2",
             kernel_init=nn.initializers.zeros,
         )(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        x = TorchBatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, name="bn2")(x)
         return x
 

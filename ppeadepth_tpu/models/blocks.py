@@ -20,6 +20,8 @@ from flax.linen.dtypes import promote_dtype
 
 from ..kernels.lk_conv import depthwise_conv2d
 
+from .norm import BatchNorm as TorchBatchNorm  # torch-parity running_var
+
 
 class DepthwiseConv(nn.Module):
     """Depthwise conv whose execution routes through kernels.lk_conv
@@ -172,7 +174,7 @@ class ConvBN(nn.Module):
                 dtype=self.dtype,
                 name="conv",
             )(x)
-        x = nn.BatchNorm(
+        x = TorchBatchNorm(
             use_running_average=not train,
             momentum=0.9,
             epsilon=1e-5,

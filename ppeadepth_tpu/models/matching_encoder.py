@@ -132,26 +132,42 @@ class RepLKMatching(nn.Module):
             min_depth_bin, max_depth_bin, self.num_depth_bins,
             self.depth_binning,
         )
-        cost, missing = CV.plane_sweep_cost_volume(
-            jax.lax.stop_gradient(cur).astype(jnp.float32),
-            lk.astype(jnp.float32),
-            jax.lax.stop_gradient(poses),
-            K,
-            invK,
-            bins,
-            bin_chunk=self.bin_chunk,
-            cv_min=dyn and cv_min,
-            backend=CV.resolve_cv_backend(self.cv_backend),
-        )  # [B, D, h, w]
-        if dyn and (cv_set_1 or cv_pool):
+        if dyn:
+            # DynamicDepth-style volume: per-frame occlusion in-fill on
+            # the warped FEATURES before the diff, then min/average over
+            # frames (match_features_dyn, replk_matching_adapter.py:
+            # 163-258). Feature-level in-fill needs the materialized
+            # warped tensors, so this path is lax-only (no MXU cost
+            # kernel) — it is the stage-2 CityScapes fine-tune recipe,
+            # not the serving hot loop.
             if aug_mask is None:
                 aug_mask = jnp.zeros((B, 1, 1, 1), jnp.float32)
-            cost = CV.occlusion_fill(
-                cost, jax.lax.stop_gradient(lookup_images),
-                jax.lax.stop_gradient(poses), K, invK, bins, aug_mask,
-                set_1=cv_set_1, pool=cv_pool, pool_radius=cv_pool_radius,
-                pool_threshold=cv_pool_th,
+            cost, missing = CV.plane_sweep_cost_volume_dyn(
+                jax.lax.stop_gradient(cur).astype(jnp.float32),
+                lk.astype(jnp.float32),
+                jax.lax.stop_gradient(poses),
+                K,
+                invK,
+                bins,
+                jax.lax.stop_gradient(lookup_images),
+                jax.lax.stop_gradient(aug_mask),
+                cv_min=cv_min,
+                set_1=cv_set_1,
+                pool=cv_pool,
+                pool_r=cv_pool_radius,
+                pool_th=cv_pool_th,
             )
+        else:
+            cost, missing = CV.plane_sweep_cost_volume(
+                jax.lax.stop_gradient(cur).astype(jnp.float32),
+                lk.astype(jnp.float32),
+                jax.lax.stop_gradient(poses),
+                K,
+                invK,
+                bins,
+                bin_chunk=self.bin_chunk,
+                backend=CV.resolve_cv_backend(self.cv_backend),
+            )  # [B, D, h, w]
         conf = CV.confidence_mask(
             jax.lax.stop_gradient(cost), jax.lax.stop_gradient(missing)
         )  # [B, h, w]

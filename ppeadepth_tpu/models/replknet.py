@@ -36,6 +36,7 @@ from .adapters import BAdapter, ChannelAdapter, InputAdapter
 from .blocks import ConvBN, DepthwiseConv, DropPath
 from ..kernels.banded_conv import (
     resolve_lk_deploy_backend, resolve_lk_train_backend, stage_backends)
+from .norm import BatchNorm as TorchBatchNorm  # torch-parity running_var
 
 REPLK_CONFIGS = {
     "b": dict(
@@ -128,7 +129,7 @@ class RepLKBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        out = nn.BatchNorm(
+        out = TorchBatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, name="prelkb_bn",
         )(x)
@@ -185,7 +186,7 @@ class ConvFFN(nn.Module):
                 return ffn_mxu.ffn_block_apply(
                     x, folded, interpret=jax.default_backend() != "tpu")
 
-        out = nn.BatchNorm(
+        out = TorchBatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, name="preffn_bn",
         )(x)
@@ -279,7 +280,7 @@ class RepLKNetStage(nn.Module):
             )
         self.blocks = blocks
         if self.norm_intermediate:
-            self.norm = nn.BatchNorm(momentum=0.9, epsilon=1e-5)
+            self.norm = TorchBatchNorm(momentum=0.9, epsilon=1e-5)
 
     def __call__(self, x, train: bool = False):
         for blk in self.blocks:

@@ -14,6 +14,8 @@ from typing import Sequence
 
 import flax.linen as nn
 
+from .norm import BatchNorm as TorchBatchNorm  # torch-parity running_var
+
 
 class BasicBlock(nn.Module):
     features: int
@@ -26,7 +28,7 @@ class BasicBlock(nn.Module):
             self.features, (3, 3), strides=(self.stride, self.stride),
             padding=1, use_bias=False, name="conv1",
         )(x)
-        out = nn.BatchNorm(
+        out = TorchBatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             name="bn1",
         )(out)
@@ -34,7 +36,7 @@ class BasicBlock(nn.Module):
         out = nn.Conv(
             self.features, (3, 3), padding=1, use_bias=False, name="conv2"
         )(out)
-        out = nn.BatchNorm(
+        out = TorchBatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             name="bn2",
         )(out)
@@ -43,7 +45,7 @@ class BasicBlock(nn.Module):
                 self.features, (1, 1), strides=(self.stride, self.stride),
                 use_bias=False, name="downsample_conv",
             )(identity)
-            identity = nn.BatchNorm(
+            identity = TorchBatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
                 name="downsample_bn",
             )(identity)
@@ -60,7 +62,7 @@ class Bottleneck(nn.Module):
         out_ch = self.features * 4
 
         def bn(name):
-            return nn.BatchNorm(
+            return TorchBatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
                 name=name,
             )
@@ -104,7 +106,7 @@ class ResnetEncoder(nn.Module):
         self.conv1 = nn.Conv(
             64, (7, 7), strides=(2, 2), padding=3, use_bias=False
         )
-        self.bn1 = nn.BatchNorm(momentum=0.9, epsilon=1e-5)
+        self.bn1 = TorchBatchNorm(momentum=0.9, epsilon=1e-5)
         layers = []
         for i, (width, n) in enumerate(zip((64, 128, 256, 512), blocks)):
             stage = []

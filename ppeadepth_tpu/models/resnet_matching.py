@@ -22,6 +22,8 @@ from ..ops.resize import upsample2x_nearest
 from .blocks import ConvBlock, Conv3x3
 from .resnet import BasicBlock
 
+from .norm import BatchNorm as TorchBatchNorm  # torch-parity running_var
+
 
 class ResnetEncoderMatching(nn.Module):
     num_layers: int = 18
@@ -37,7 +39,7 @@ class ResnetEncoderMatching(nn.Module):
         assert self.num_layers == 18, "legacy encoder supports resnet18"
         self.conv1 = nn.Conv(64, (7, 7), strides=(2, 2), padding=3,
                              use_bias=False)
-        self.bn1 = nn.BatchNorm(momentum=0.9, epsilon=1e-5)
+        self.bn1 = TorchBatchNorm(momentum=0.9, epsilon=1e-5)
         blocks = {"layer1": (64, 1), "layer2": (128, 2),
                   "layer3": (256, 2), "layer4": (512, 2)}
         layers = {}

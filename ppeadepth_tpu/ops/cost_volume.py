@@ -270,83 +270,197 @@ def plane_sweep_cost_volume(
     return cost, missing
 
 
-def occlusion_fill(
-    cost_volume,
-    lookup_images,
+# the reference's occlusion mask is materialized at this fixed
+# resolution regardless of the matching resolution
+# (replk_matching_adapter.py:166 `F.interpolate(..., [48, 128])` — 48x128
+# IS the CityScapes 192x512 matching resolution the dyn path ships for,
+# but the grid_sample that consumes it works in normalized coordinates,
+# so keeping the constant reproduces the reference at ANY model size).
+_OCC_HW = (48, 128)
+
+
+def _occ_masks(lookup_images, pool_th):
+    """Per-(sample, frame) occlusion masks at the fixed 48x128 grid.
+
+    replk_matching_adapter.py:166: pixels blacked out by the DOMD module
+    (channel-sum < 0.15) -> float mask -> F.interpolate(mode='nearest',
+    the default) to [48, 128] -> `> 0`. Nearest resampling of a binary
+    mask stays binary, so the mapping is an exact index selection
+    (src = floor(dst * in/out), torch's legacy 'nearest').
+
+    DEVIATION (documented): the reference computes the mask on the
+    [B*F, 3, H, W] reshaped stack but indexes it `occ_batch[batch_idx]`
+    with batch_idx < B (:171,199), so with F > 1 lookup frames sample b
+    reads the mask of stack row b = (b//F, b%F) — a latent indexing bug
+    that makes its multi-frame dyn behavior depend on neighboring
+    samples (and it reuses that single mask for every lookup frame).
+    Here each frame's in-fill uses ITS OWN image's mask, indexed
+    (b, f) — which coincides with the reference exactly at F == 1 (the
+    only configuration the reference ever ran: the dyn path is the
+    CityScapes stage-2 recipe, num_matching_frames 1).
+
+    lookup_images: [B, F, H, W, 3] -> bool [B, F, 48, 128].
+    """
+    B, F_, H, W, _ = lookup_images.shape
+    oh, ow = _OCC_HW
+    occ = jnp.sum(lookup_images, axis=-1) < 0.15  # [B, F, H, W]
+    ridx = (jnp.arange(oh) * H // oh).astype(jnp.int32)
+    cidx = (jnp.arange(ow) * W // ow).astype(jnp.int32)
+    return occ[:, :, ridx][:, :, :, cidx]  # [B, F, oh, ow]
+
+
+def _frame_diffs_dyn(cur_flat, lk_img, occ48, a, tt, bins, H, W,
+                     fill_gate, set_1, pool, pool_r, pool_th, eps=1e-7):
+    """Edge-masked L1 diffs for one (sample, frame) pair with the
+    DynamicDepth occlusion in-fill applied to the warped FEATURES before
+    the diff (match_features_dyn, replk_matching_adapter.py:187-236).
+
+    cur_flat [HW, C]; lk_img [H, W, C]; occ48 [48, 128] bool;
+    fill_gate: scalar bool (False under matching augmentation,
+    :199 `aug_mask[batch_idx][0][0][0] == 0`). Returns [D, H, W].
+
+    No bin chunking: the pool in-fill's 3D max-pool window spans
+    neighboring depth bins, so the full [D, HW, C] warped tensor is
+    materialized (the caller serializes over the batch to bound memory —
+    this is the stage-2 fine-tune path, not the serving hot loop).
+    """
+    D = bins.shape[0]
+    C = cur_flat.shape[-1]
+    pix = pixel_grid(H, W)
+    base = jnp.matmul(a, pix, precision=_HI)  # [3, HW]
+    cam = base[None] * bins[:, None, None] + tt[None, :, None]
+    x = cam[:, 0, :] / (cam[:, 2, :] + eps)  # [D, HW]
+    y = cam[:, 1, :] / (cam[:, 2, :] + eps)
+    warped = _sample_one_zeros(lk_img, x, y, H, W)  # [D, HW, C]
+
+    if set_1 or pool:
+        # warp the occlusion mask through the same sample locations:
+        # normalized grid coords are shared, so pixel coords rescale to
+        # the mask's own 48x128 grid (align_corners=True convention)
+        oh, ow = _OCC_HW
+        xo = x * ((ow - 1) / max(W - 1, 1))
+        yo = y * ((oh - 1) / max(H - 1, 1))
+        occ_w = _sample_one_zeros(
+            occ48.astype(jnp.float32)[..., None], xo, yo, oh, ow
+        )[..., 0]  # [D, HW]
+        m = (occ_w > pool_th) & fill_gate  # [D, HW]
+        if set_1:
+            # :203 warped[mask] = 1.0 (every channel)
+            warped = jnp.where(m[..., None], 1.0, warped)
+        else:
+            # :205-208: zero the occluded entries, 3D max-pool over
+            # (depth, h, w) per channel (torch max_pool3d pads with
+            # -inf; reduce_window's SAME padding uses the -inf init),
+            # and in-fill from the pooled neighborhood
+            xz = jnp.where(m[..., None], 0.0, warped).reshape(D, H, W, C)
+            k = 2 * pool_r + 1
+            pooled = jax.lax.reduce_window(
+                xz, -jnp.inf, jax.lax.max,
+                (k, k, k, 1), (1, 1, 1, 1), "SAME",
+            ).reshape(D, H * W, C)
+            warped = jnp.where(m[..., None], pooled, warped)
+
+    diff = jnp.mean(jnp.abs(warped - cur_flat[None]), axis=-1)  # [D, HW]
+    edge = ((x >= 2.0) & (x <= W - 2) & (y >= 2.0) & (y <= H - 2)
+            ).astype(diff.dtype)
+    ys_ = jnp.arange(H)
+    xs_ = jnp.arange(W)
+    cur_border = (
+        (ys_[:, None] >= 2) & (ys_[:, None] < H - 2)
+        & (xs_[None, :] >= 2) & (xs_[None, :] < W - 2)
+    ).astype(diff.dtype).reshape(-1)
+    return (diff * edge * cur_border[None]).reshape(D, H, W)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("set_missing_to_max", "cv_min", "set_1", "pool",
+                     "pool_r"),
+)
+def plane_sweep_cost_volume_dyn(
+    current_feats,
+    lookup_feats,
     rel_poses,
     K,
     invK,
     depth_bins,
+    lookup_images,
     aug_mask,
+    cv_min=False,
     set_1=False,
     pool=True,
-    pool_radius=1,
-    pool_threshold=0.7,
-    matching_hw=None,
+    pool_r=1,
+    pool_th=0.7,
+    set_missing_to_max=True,
 ):
-    """DynamicDepth-style occlusion handling for stage-2 dynamic scenes
-    (match_features_dyn, replk_matching_adapter.py:163-258).
+    """DynamicDepth-style cost volume (match_features_dyn,
+    replk_matching_adapter.py:163-258): per lookup frame, warp features,
+    in-fill DOMD-occluded entries (set_1 -> 1.0, pool -> 3D max-pool of
+    the non-occluded neighborhood), THEN diff — and combine frames by
+    min (`cv_min`) or observed-count average.
 
-    Pixels occluded by the DOMD module come out black (RGB sum < 0.15,
-    :166); the occlusion map is projected through every depth plane and
-    the corresponding cost entries are either set to 1.0 (`set_1`) or
-    in-filled from nearby non-occluded costs with a 3D max-pool (`pool`).
-    Skipped for samples under matching augmentation (aug_mask == 1).
+    current_feats [B,H,W,C]; lookup_feats [B,F,H,W,C]; lookup_images
+    [B,F,Hf,Wf,3] full-res (black = occluded); aug_mask [B,1,1,1]
+    (1 = matching-augmented sample: in-fill skipped, :199).
 
-    cost_volume: [B, D, h, w]; lookup_images: [B, F, H, W, 3] (full res).
-    Returns the adjusted cost volume.
+    Returns (cost_volume [B,D,H,W], missing_mask [B,D,H,W]).
     """
-    B, D, h, w = cost_volume.shape
-    F_ = lookup_images.shape[1]
-    # occlusion map at matching resolution (nearest is fine for a mask)
-    occ = (jnp.sum(lookup_images, axis=-1, keepdims=True) < 0.15)
-    occ = occ.astype(jnp.float32).reshape(B * F_, *lookup_images.shape[2:4], 1)
-    occ = jax.image.resize(occ, (B * F_, h, w, 1), method="linear")
-    occ = occ.reshape(B, F_, h, w)
+    B, H, W, C = current_feats.shape
+    F_ = lookup_feats.shape[1]
+    D = depth_bins.shape[0]
 
-    # project the occlusion mask through every depth plane of every frame
-    # and OR over frames. The reference in-fills each frame's warped
-    # FEATURES before the diff (replk_matching_adapter.py:198-211); the
-    # cost-level form here agrees only for one lookup frame, so
-    # options.with_mode_presets rejects --dyn_cv with
-    # --num_matching_frames > 1 (round-3 VERDICT #7).
-    mask_any = jnp.zeros((B, D, h, w), jnp.float32)
+    cur_flat = current_feats.reshape(B, H * W, C)
+    occ = _occ_masks(lookup_images, pool_th)  # [B, F, 48, 128] bool
+    fill_gate = aug_mask.reshape(B) == 0
+
+    if cv_min:
+        # reference quirk kept VERBATIM (:172,:236-243): the sentinel
+        # for "unobserved" is literally 1.0 — init ones, zeros -> 1.0
+        # before each min, and cost==1 -> 0 after the loop. A pixel
+        # whose best observed diff is >= 1.0 is thereby clamped to the
+        # sentinel and discarded as missing; the oracle test pins this.
+        cost = jnp.ones((B, D, H, W), jnp.float32)
+    else:
+        cost = jnp.zeros((B, D, H, W), jnp.float32)
+        counts = jnp.zeros((B, D, H, W), jnp.float32)
+
     for f in range(F_):
         T = rel_poses[:, f]
         P = jnp.matmul(K, T, precision=_HI)[:, :3, :]
         A = jnp.matmul(P[:, :, :3], invK[:, :3, :3], precision=_HI)
         t = P[:, :, 3]
+        # serialize over the batch: the in-fill materializes the full
+        # [D, HW, C] warped tensor per sample (see _frame_diffs_dyn)
+        diffs = jax.lax.map(
+            lambda args: _frame_diffs_dyn(
+                args[0], args[1], args[2], args[3], args[4], depth_bins,
+                H, W, args[5], set_1, pool, pool_r, pool_th),
+            (cur_flat, lookup_feats[:, f], occ[:, f], A, t, fill_gate),
+        )  # [B, D, H, W]
         valid = (jnp.sum(jnp.abs(T), axis=(1, 2)) > 0).astype(jnp.float32)
+        diffs = diffs * valid[:, None, None, None]
+        if cv_min:
+            # :237 diffs[diffs==0] = 1.0 guards the min against
+            # unobserved zeros (the quirk: it also CAPS observed diffs
+            # at the 1.0 sentinel — kept verbatim, see init above)
+            d = jnp.where(diffs == 0, 1.0, diffs)
+            cost = jnp.minimum(cost, d)
+        else:
+            cost = cost + diffs
+            counts = counts + (diffs > 0).astype(jnp.float32)
 
-        def frame_mask(occ_f, a, tt):
-            occ_img = occ_f.reshape(h, w, 1)
-            pix = pixel_grid(h, w)
-            base = jnp.matmul(a, pix, precision=_HI)
-            cam = base[None] * depth_bins[:, None, None] + tt[None, :, None]
-            x = cam[:, 0, :] / (cam[:, 2, :] + 1e-7)
-            y = cam[:, 1, :] / (cam[:, 2, :] + 1e-7)
-            warped = _sample_one_zeros(occ_img, x, y, h, w)[..., 0]
-            return (warped > pool_threshold).astype(jnp.float32)
+    if cv_min:
+        # :243 cost_volume[cost_volume==1] = 0 (never-observed pixels —
+        # and any pixel whose best diff tied the 1.0 sentinel)
+        cost = jnp.where(cost == 1.0, 0.0, cost)
+    else:
+        cost = cost / (counts + 1e-7)
 
-        m = jax.vmap(frame_mask)(occ[:, f], A, t).reshape(B, D, h, w)
-        mask_any = jnp.maximum(mask_any, m * valid[:, None, None, None])
-
-    # samples under matching augmentation keep their raw cost
-    mask_any = mask_any * (1.0 - aug_mask.reshape(B, 1, 1, 1))
-
-    if set_1:
-        return jnp.where(mask_any > 0, 1.0, cost_volume)
-    if pool:
-        x = jnp.where(mask_any > 0, 0.0, cost_volume)
-        r = pool_radius
-        pooled = jax.lax.reduce_window(
-            x, -jnp.inf, jax.lax.max,
-            (1, 2 * r + 1, 2 * r + 1, 2 * r + 1),
-            (1, 1, 1, 1),
-            "SAME",
-        )
-        return jnp.where(mask_any > 0, pooled, cost_volume)
-    return cost_volume
+    missing = (cost == 0).astype(jnp.float32)
+    if set_missing_to_max:
+        cost_max = jnp.max(cost, axis=1, keepdims=True)
+        cost = cost * (1 - missing) + cost_max * missing
+    return cost, missing
 
 
 def confidence_mask(cost_volume, missing_mask, num_bins_threshold=None):

@@ -201,6 +201,10 @@ class Config:
     # N*n_devices when dp-sharded).
     grad_accum: int = 1
     fast_pipeline: bool = False      # native decode + device-side augment
+    # decoded-raw epoch cache directory (with --fast_pipeline): decode
+    # each training image once, read repeats from a memory-mapped u8
+    # array (data/decode_cache.py). Empty = off.
+    decode_cache: str = ""
     merged: bool = False             # deploy: reparam-merged LK convs
 
     def replace(self, **kw) -> "Config":
@@ -262,19 +266,14 @@ class Config:
         assert cfg.grad_accum >= 1 and cfg.batch_size % cfg.grad_accum == 0, (
             f"--batch_size {cfg.batch_size} must be a positive multiple "
             f"of --grad_accum {cfg.grad_accum}")
-        if cfg.dyn_cv and cfg.num_matching_frames > 1:
-            # our occlusion in-fill adjusts the AGGREGATED cost volume
-            # (ops/cost_volume.occlusion_fill); the reference's
-            # match_features_dyn in-fills each frame's warped features
-            # BEFORE the diff (replk_matching_adapter.py:198-211). The
-            # two orderings agree only for one lookup frame — reject the
-            # untested combination instead of silently diverging.
-            raise ValueError(
-                "--dyn_cv supports exactly one lookup frame "
-                "(--num_matching_frames 1): with several frames the "
-                "cost-level occlusion in-fill diverges from the "
-                "reference's per-frame feature in-fill"
-            )
+        # --dyn_cv composes with any --num_matching_frames since round 5:
+        # ops/cost_volume.plane_sweep_cost_volume_dyn in-fills each
+        # frame's warped FEATURES before the diff like the reference
+        # (replk_matching_adapter.py:187-236), with each frame's own
+        # occlusion mask — the reference's F>1 path misindexes its
+        # [B*F]-row mask stack with batch_idx < B (:166,:171), see the
+        # _occ_masks docstring; oracle-pinned at F=1 in
+        # tests/test_dyn_cv_oracle.py.
         if (cfg.freeze_teacher_epoch, cfg.freeze_teacher_step) != (150, -1):
             raise ValueError(
                 "--freeze_teacher_epoch/--freeze_teacher_step are dead "
@@ -302,6 +301,7 @@ class Config:
 
 def _add_flags(p: argparse.ArgumentParser):
     defaults = Config()
+    field_names = {g.name for g in dataclasses.fields(Config)}
     for f in dataclasses.fields(Config):
         name = "--" + f.name
         default = getattr(defaults, f.name)
@@ -309,14 +309,15 @@ def _add_flags(p: argparse.ArgumentParser):
             # every bool gets an explicit off switch: default-True flags
             # (e.g. remat_pose) were inexpressible as False from the CLI
             # in rounds 1-3, blocking A/B measurements (VERDICT r3 #4).
-            # Exception: when no_<name> is itself a reference flag
+            # Exceptions: when no_<name> is itself a reference flag
             # (--no_eval), the primary keeps it and <name> gets no off
-            # switch (it is default-False store_true anyway).
-            field_names = {g.name for g in dataclasses.fields(Config)}
+            # switch (it is default-False store_true anyway); and fields
+            # already named no_* get no --no_no_* double negative.
             g = p.add_mutually_exclusive_group()
             g.add_argument(name, dest=f.name, action="store_true",
                            default=default)
-            if "no_" + f.name not in field_names:
+            if ("no_" + f.name not in field_names
+                    and not f.name.startswith("no_")):
                 g.add_argument("--no_" + f.name, dest=f.name,
                                action="store_false")
         elif f.name == "pytorch_random_seed":

@@ -126,6 +126,7 @@ class Trainer:
                 self.train_loader = FastDecodePipeline(
                     train_ds, opt.batch_size, frames_needed,
                     shuffle=True, n_threads=opt.num_workers,
+                    cache_dir=opt.decode_cache,
                 )
             else:
                 self.train_loader = D.DataLoader(

@@ -117,3 +117,46 @@ def test_dp_allreduce_volume_is_trainable_partition_only():
     # the bound is only meaningful if the frozen partition is big enough
     # that reducing it would trip the assert
     assert frozen_b > 2 * stats_b + scalar_slack
+
+
+def test_dp_allreduce_volume_stage2_dc_partition():
+    """Stage-2 (--dc) wire: only the ADAPTER partition rides ICI.
+
+    The dc fine-tune freezes the decoder trunks and trains the
+    adapters (dc_ft_init, reference repdepth.py:256-262; our
+    freeze.param_labels dc branch) — an accidental all-reduce of the
+    full decoders (or the frozen backbone) would hide exactly here,
+    where the trainable tree is smallest. Same HLO accounting as the
+    stage-1 test: collective bytes in [trainable, 2x trainable +
+     2x stats + scalar slack]."""
+    assert len(jax.devices()) >= 8
+    opt = TINY.replace(no_matching_augmentation=True, dc=True, dec_id=1)
+    model, state, tx, _ = init_model_state(opt, 8)
+    batch = make_batch(opt, 8)
+    step_fn = make_train_step(model, opt, tx, donate=False)
+
+    mesh = M.make_mesh(8)
+    state_r = M.replicate(state, mesh)
+    batch_s = M.shard_batch(batch, mesh)
+    rng = jax.random.PRNGKey(7)
+
+    hlo = step_fn.lower(state_r, batch_s, rng).compile().as_text()
+    ar_bytes, per_op = _collective_bytes(hlo)
+
+    trainable_b = _tree_bytes(state.trainable)
+    frozen_b = _tree_bytes(state.frozen)
+    stats_b = _tree_bytes(state.batch_stats)
+
+    # dc actually shrank the wire: the decoder trunks moved to frozen
+    assert any(k[0] in ("depth", "mono_depth") for k in state.frozen), \
+        "dc config did not freeze the decoder trunks"
+
+    assert ar_bytes >= trainable_b, (ar_bytes, trainable_b)
+    scalar_slack = 64 * 1024
+    bound = 2 * trainable_b + 2 * stats_b + scalar_slack
+    assert ar_bytes <= bound, (
+        f"stage-2 collective volume {ar_bytes}B exceeds bound {bound}B — "
+        f"is a frozen decoder being reduced?\n" +
+        "\n".join(f"{b:>10}B {l}" for b, l in
+                  sorted(per_op, reverse=True)[:10]))
+    assert frozen_b > 2 * stats_b + scalar_slack

@@ -72,31 +72,39 @@ def test_ablation_zeroing():
     assert not np.allclose(np.asarray(base[0]), np.asarray(out[0]))
 
 
-def test_occlusion_fill_modes(rng):
+def test_dyn_cost_volume_modes(rng):
+    """Smoke of plane_sweep_cost_volume_dyn's in-fill gating (the
+    executable-reference parity lives in tests/test_dyn_cv_oracle.py):
+    a fully-black lookup image is fully occluded, so with set_1 the
+    central warped features become 1.0 and the diff shifts; under
+    matching augmentation the in-fill is skipped entirely."""
     B, D, h, w = 1, 4, 8, 12
     H, W = 32, 48
-    cost = jnp.asarray(rng.rand(B, D, h, w).astype(np.float32) + 0.1)
+    cur = jnp.asarray(rng.rand(B, h, w, 5).astype(np.float32) * 0.3)
+    lk_feats = jnp.asarray(rng.rand(B, 1, h, w, 5).astype(np.float32) * 0.3)
     lookup = jnp.zeros((B, 1, H, W, 3))  # fully black = fully occluded
-    poses = jnp.broadcast_to(jnp.eye(4), (B, 1, 4, 4))
+    poses = jnp.broadcast_to(jnp.eye(4), (B, 1, 4, 4)) + 1e-6
     K = np.eye(4, dtype=np.float32)
     K[0, 0], K[1, 1], K[0, 2], K[1, 2] = 5.0, 5.0, w / 2, h / 2
+    Kj = jnp.asarray(K[None])
+    iK = jnp.asarray(np.linalg.pinv(K)[None])
     bins = CV.compute_depth_bins(1.0, 10.0, D)
-    aug = jnp.zeros((B, 1, 1, 1))
-    out1 = CV.occlusion_fill(
-        cost, lookup, poses, jnp.asarray(K[None]),
-        jnp.asarray(np.linalg.pinv(K)[None]), bins, aug,
-        set_1=True, pool=False,
-    )
-    assert float(jnp.max(out1)) <= 1.0 + 1e-6
-    # projected occlusion hits most central pixels with set_1 -> many 1.0s
-    assert float(jnp.mean(out1 == 1.0)) > 0.3
-    # under augmentation the cost is untouched
-    out2 = CV.occlusion_fill(
-        cost, lookup, poses, jnp.asarray(K[None]),
-        jnp.asarray(np.linalg.pinv(K)[None]), bins, jnp.ones((B, 1, 1, 1)),
-        set_1=True, pool=False,
-    )
-    np.testing.assert_allclose(np.asarray(out2), np.asarray(cost))
+
+    base, _ = CV.plane_sweep_cost_volume_dyn(
+        cur, lk_feats, poses, Kj, iK, bins, lookup,
+        jnp.zeros((B, 1, 1, 1)), set_1=False, pool=False)
+    filled, _ = CV.plane_sweep_cost_volume_dyn(
+        cur, lk_feats, poses, Kj, iK, bins, lookup,
+        jnp.zeros((B, 1, 1, 1)), set_1=True, pool=False)
+    # in-fill rewrote occluded warped features to 1.0 -> cost ~|1 - cur|
+    assert not np.allclose(np.asarray(base), np.asarray(filled))
+    center = np.asarray(filled)[0, :, 3:-3, 3:-3]
+    assert center.mean() > np.asarray(base)[0, :, 3:-3, 3:-3].mean()
+    # under augmentation the in-fill is skipped: identical to no-fill
+    aug, _ = CV.plane_sweep_cost_volume_dyn(
+        cur, lk_feats, poses, Kj, iK, bins, lookup,
+        jnp.ones((B, 1, 1, 1)), set_1=True, pool=False)
+    np.testing.assert_allclose(np.asarray(aug), np.asarray(base))
 
 
 def test_schedules():

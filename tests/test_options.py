@@ -71,11 +71,13 @@ def test_boolean_off_switches():
     assert parse_args(["--adapter"]).adapter is True
     assert parse_args(["--adapter", "--no_png"]).png is False
     # every bool field parses in both polarities (except `eval`, whose
-    # off switch would collide with the reference's --no_eval flag)
+    # off switch would collide with the reference's --no_eval flag, and
+    # no_* fields, which would get a --no_no_* double negative)
     names = {f.name for f in dataclasses.fields(Config)}
     for f in dataclasses.fields(Config):
         if isinstance(getattr(Config(), f.name), bool) \
-                and "no_" + f.name not in names:
+                and "no_" + f.name not in names \
+                and not f.name.startswith("no_"):
             assert parse_args(["--" + f.name]).__getattribute__(f.name) \
                 is True, f.name
             assert parse_args(["--no_" + f.name]).__getattribute__(f.name) \
@@ -92,14 +94,12 @@ def test_weights_init_validated():
     assert parse_args(["--weights_init", "scratch"]).weights_init == "scratch"
 
 
-def test_dyn_cv_multi_frame_rejected():
-    """--dyn_cv with num_matching_frames > 1 silently diverged from the
-    reference's per-frame feature in-fill (round-3 VERDICT #7) — now a
-    loud error; the supported single-frame config still parses."""
-    import pytest
-
+def test_dyn_cv_multi_frame_accepted():
+    """--dyn_cv composes with num_matching_frames > 1 since round 5 (the
+    per-frame feature in-fill of plane_sweep_cost_volume_dyn; the
+    round-3/4 rejection is lifted)."""
     from ppeadepth_tpu.options import Config, parse_args
 
-    with pytest.raises(ValueError, match="one lookup frame"):
-        Config(dyn_cv=True, num_matching_frames=2).with_mode_presets()
+    cfg = Config(dyn_cv=True, num_matching_frames=2).with_mode_presets()
+    assert cfg.dyn_cv and cfg.num_matching_frames == 2
     assert parse_args(["--dyn_cv"]).dyn_cv is True

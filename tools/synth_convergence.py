@@ -59,7 +59,8 @@ def run_convergence(rep_size="t", height=64, width=96, steps=30,
                     eval_every=0, log=print, compute_dtype="float32",
                     learning_rate=1e-4, use_trainer_flags=True,
                     scene_seed=None, n_movers=0, config_overrides=None,
-                    init_state=None, return_state=False):
+                    init_state=None, return_state=False,
+                    return_eval=False):
     """One training phase on a procedural scene.
 
     Stage-2 support (the reference's --train_cs --dc fine-tune,
@@ -198,8 +199,10 @@ def run_convergence(rep_size="t", height=64, width=96, steps=30,
             method=RepDepth.forward_multi)
         return out[("disp", 0)]
 
-    def eval_metrics(state, multi=False):
-        params = state.params
+    def eval_metrics(state, multi=False, params=None):
+        # params override: the layer-ablation study evaluates edited
+        # param trees through the SAME jitted eval (no recompiles)
+        params = state.params if params is None else params
         preds = []
         for i in range(0, len(eval_idx), batch_size):
             idx = eval_idx[i:i + batch_size]
@@ -255,6 +258,8 @@ def run_convergence(rep_size="t", height=64, width=96, steps=30,
     m1m = eval_metrics(state, multi=True)
     log(f"final metrics (student/multi): {m1m}")
     results["final_multi"] = m1m
+    if return_eval:
+        return results, state, eval_metrics
     if return_state:
         return results, state
     return results

@@ -57,6 +57,10 @@ def main():
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--frames", type=int, default=64)
     p.add_argument("--fast_pipeline", action="store_true")
+    p.add_argument("--decode_cache", type=str, default="",
+                   help="decoded-raw cache dir (with --fast_pipeline)")
+    p.add_argument("--epochs", type=int, default=1,
+                   help=">1 exercises the persistent-worker epoch restart")
     p.add_argument("--remat", action="store_true")
     p.add_argument("--remat_loss", action="store_true")
     p.add_argument("--remat_policy", type=str, default="full",
@@ -101,10 +105,10 @@ def main():
         use_checkpoint=args.remat, compute_dtype="bfloat16",
         remat_loss=args.remat_loss, remat_policy=args.remat_policy,
         height=args.height, width=args.width, batch_size=args.batch,
-        data_path=root, split="timing", num_epochs=1,
+        data_path=root, split="timing", num_epochs=args.epochs,
         num_workers=args.workers, validate_every=0,
         log_dir=os.path.join(tmp, "log"), name="timing",
-        fast_pipeline=args.fast_pipeline,
+        fast_pipeline=args.fast_pipeline, decode_cache=args.decode_cache,
     )
     trainer = Trainer(opt, splits_dir=os.path.join(tmp, "splits"))
     print(f"steps_per_epoch={trainer.steps_per_epoch}", file=sys.stderr)
