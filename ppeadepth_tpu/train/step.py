@@ -119,28 +119,44 @@ def _warp_frames(inputs, depth, poses, opt: Config, is_multi: bool):
     interp = jax.default_backend() != "tpu"
     K = inputs[("K", 0)]
     invK = inputs[("inv_K", 0)]
-    warped = {}
-    for f in opt.frame_ids[1:]:
+    frames = list(opt.frame_ids[1:])
+    coords = {}
+    for f in frames:
         T = poses[("cam_T_cam", 0, f)]
         if is_multi:
             T = jax.lax.stop_gradient(T)  # trainer.py:899-901
-        coords = reproject_coords(depth, invK, K, T)
-        color = inputs[("color", f, 0)]
-        if backend == "lax":
-            warped[f] = grid_sample(color, coords, "border")
-        else:
-            # per-shard dispatch over an ambient dp mesh (GSPMD would
-            # replicate the pallas call and all-gather the batch)
-            if backend == "mxu_exact":
-                fn = lambda i, c: warp_mxu.grid_sample_border_mxu(
-                    i, c, interp, "highest", "float32")  # noqa: E731
-            else:  # 'mxu': exact pixel selection, bf16 image operand
-                fn = lambda i, c: warp_mxu.grid_sample_border_mxu(
-                    i, c, interp)  # noqa: E731
-            sampler = mesh_lib.shard_batch_call(
-                fn, in_specs=(True, True), out_specs=True)
-            warped[f] = sampler(color, coords)
-    return warped
+        coords[f] = reproject_coords(depth, invK, K, T)
+    if backend == "lax":
+        return {f: grid_sample(inputs[("color", f, 0)], coords[f],
+                               "border")
+                for f in frames}
+    # ONE kernel dispatch for the branch's warps: the per-frame colors
+    # and coordinate grids stack on the batch axis, so the pallas call
+    # runs F*B samples instead of F x B (halves the per-call fixed cost
+    # of the custom-call + its vjp pair; round 5). The stack/split
+    # happens INSIDE the shard-mapped function: per-shard, each device
+    # concatenates its own local frames — stacking outside would make
+    # GSPMD reshard the frame-concatenated batch axis (all-to-all).
+    if backend == "mxu_exact":
+        fn = lambda i, c: warp_mxu.grid_sample_border_mxu(
+            i, c, interp, "highest", "float32")  # noqa: E731
+    else:  # 'mxu': exact pixel selection, bf16 image operand
+        fn = lambda i, c: warp_mxu.grid_sample_border_mxu(
+            i, c, interp)  # noqa: E731
+    nf = len(frames)
+
+    def batched(colors, grids):
+        out = fn(jnp.concatenate(colors, axis=0),
+                 jnp.concatenate(grids, axis=0))
+        n = colors[0].shape[0]
+        return tuple(out[i * n:(i + 1) * n] for i in range(nf))
+
+    sampler = mesh_lib.shard_batch_call(
+        batched, in_specs=(True, True), out_specs=(True,) * nf)
+    warped_all = sampler(
+        tuple(inputs[("color", f, 0)] for f in frames),
+        tuple(coords[f] for f in frames))
+    return dict(zip(frames, warped_all))
 
 
 def _branch_losses(inputs, outputs, opt: Config, noise_rng, is_multi: bool):
