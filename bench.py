@@ -50,11 +50,16 @@ def _device_time_per_iter(run_iter, iters):
     try:
         tmp = tempfile.mkdtemp(prefix="ppea_bench_trace")
         jax.profiler.start_trace(tmp)
-        for i in range(iters):
-            out = run_iter(i)
-        jax.block_until_ready(out)
-        np.asarray(out)
-        jax.profiler.stop_trace()
+        try:
+            for i in range(iters):
+                out = run_iter(i)
+            jax.block_until_ready(out)
+            np.asarray(out)
+        finally:
+            # ALWAYS close the session: a run_iter failure (e.g. OOM
+            # under the profiler) would otherwise leave it open and
+            # poison every later start_trace in this process
+            jax.profiler.stop_trace()
         paths = sorted(glob.glob(f"{tmp}/plugins/profile/*/*.trace.json.gz"))
         if not paths:
             return None
@@ -362,9 +367,41 @@ def _sizes_bench():
     return out
 
 
-def _train_size_bench(size, accum=3):
-    """Large-model train step, bs 12 with --grad_accum (the AOT-claimed
-    16 GB-fit config; round-5 VERDICT #3 demands it MEASURED)."""
+def _train_size_bench(size):
+    """Large-model train step, bs 12 with --grad_accum, measured on
+    device (round-5 VERDICT #3: the 16 GB-fit claim rested on AOT
+    accounting, and XL at accum 3 indeed compiles + runs ONE step but
+    RESOURCE_EXHAUSTs under the profiler — AOT-passed-then-OOM is the
+    documented failure mode). A config ladder walks accum 3 -> 4 -> 6
+    -> 6+remat_loss and reports the first that completes a profiled
+    run, with the config in the record."""
+    import subprocess
+
+    for accum, remat_loss in ((3, False), (4, False), (6, False),
+                              (6, True)):
+        # each rung in a FRESH process: an OOM'd rung leaves the device
+        # heap poisoned (leaked/fragmented buffers) and every later
+        # in-process attempt fails regardless of its own footprint
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--train-size-once", size, str(accum),
+                 str(int(remat_loss))],
+                capture_output=True, text=True, timeout=1800,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            rec = json.loads(out.stdout.strip().splitlines()[-1])
+        except Exception as e:  # noqa: BLE001
+            print(f"{size} ladder: accum={accum} remat_loss={remat_loss}"
+                  f" failed: {e}", file=sys.stderr)
+            continue
+        if rec:
+            return rec
+        print(f"{size} ladder: accum={accum} remat_loss={remat_loss} "
+              f"no result (rc={out.returncode})", file=sys.stderr)
+    return {}
+
+
+def _train_size_once(size, accum, remat_loss):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -379,7 +416,8 @@ def _train_size_bench(size, accum=3):
     B, H, W = 12, 192, 640
     opt = Config(adapter=True, rep_size=size, use_checkpoint=False,
                  height=H, width=W, batch_size=B, adpt_test=4,
-                 compute_dtype="bfloat16", grad_accum=accum)
+                 compute_dtype="bfloat16", grad_accum=accum,
+                 remat_loss=remat_loss)
     model = RepDepth(opt)
     rng = np.random.RandomState(0)
     batch = {}
@@ -421,9 +459,12 @@ def _train_size_bench(size, accum=3):
     dt = _device_time_per_iter(run, 3)
     if dt is None:
         return {}
-    return {f"train_step_{size}_ms": round(dt * 1e3, 1),
-            f"train_step_{size}_imgs_per_s": round(B / dt, 2),
-            f"train_step_{size}_grad_accum": accum}
+    rec = {f"train_step_{size}_ms": round(dt * 1e3, 1),
+           f"train_step_{size}_imgs_per_s": round(B / dt, 2),
+           f"train_step_{size}_grad_accum": accum}
+    if remat_loss:
+        rec[f"train_step_{size}_remat_loss"] = True
+    return rec
 
 
 def _sub_main(fn):
@@ -446,4 +487,9 @@ if __name__ == "__main__":
         sys.exit(_sub_main(lambda: _train_size_bench("xl")))
     if "--train-l-only" in sys.argv:
         sys.exit(_sub_main(lambda: _train_size_bench("l")))
+    if "--train-size-once" in sys.argv:
+        i = sys.argv.index("--train-size-once")
+        _size, _accum, _rl = sys.argv[i + 1:i + 4]
+        sys.exit(_sub_main(lambda: _train_size_once(
+            _size, int(_accum), bool(int(_rl)))))
     sys.exit(main())
