@@ -103,6 +103,41 @@ def main():
           for _ in range(a.images)]
 
     out = {"images": a.images, "batch": a.batch, "rep_size": a.rep_size}
+
+    # device-only eval-step rate (profiler trace, device-resident batch):
+    # on the tunneled chip the e2e wall-clock below is dominated by H2D
+    # at ~10 MB/s (56 MB/batch), so it measures the tunnel, not the
+    # evaluator — production hosts feed over PCIe/DMA.
+    import collections
+    import glob as _glob
+    import gzip
+    import tempfile
+
+    ev0 = evaluator.make_eval_step(model, opt, False)
+    wb0 = {k: jnp.asarray(v) for k, v in next(batches()).items()}
+    r = np.asarray(ev0(variables, wb0, jnp.float32(0.1),
+                       jnp.float32(10.0))[0])
+    try:
+        tmp = tempfile.mkdtemp(prefix="evalbench")
+        jax.profiler.start_trace(tmp)
+        for _ in range(6):
+            r = ev0(variables, wb0, jnp.float32(0.1), jnp.float32(10.0))[0]
+        jax.block_until_ready(r)
+        np.asarray(r)
+        jax.profiler.stop_trace()
+        durs = collections.Counter()
+        with gzip.open(sorted(_glob.glob(
+                f"{tmp}/plugins/profile/*/*.trace.json.gz"))[-1]) as f:
+            for e in json.load(f).get("traceEvents", []):
+                if e.get("ph") == "X" and "dur" in e and \
+                        e.get("name", "").startswith("jit"):
+                    durs[e["name"]] += e["dur"]
+        if durs:
+            dt = durs.most_common(1)[0][1] / 1e6 / 6
+            out["eval_step_device_ms"] = round(dt * 1e3, 2)
+            out["eval_imgs_per_s_per_chip_device"] = round(a.batch / dt, 1)
+    except Exception as e:  # noqa: BLE001
+        print(f"device trace skipped: {e}", file=sys.stderr)
     for mode in ("plain", "sharded"):
         mesh = mesh_lib.make_mesh() if mode == "sharded" else None
         if mesh is not None:
